@@ -1,0 +1,114 @@
+"""Posting-block codec: docID-delta + varbyte compression, numpy-vectorized.
+
+The reference stores postings as Roaring bitmaps per
+``(field, term, segment)`` key (rocksdb/key_builder.rs:60-69).  This
+engine replaces them — per the build's north rule — with
+delta-encoded, varbyte-compressed docID runs plus parallel varbyte
+term frequencies and raw one-byte quantized doc lengths, grouped into
+*blocks* keyed by ``segment = doc_id >> SEGMENT_BITS`` (the direct
+analogue of the reference's 65,536-doc segment,
+/root/reference/src/search/document.rs:10).
+
+Everything here runs inside Arrow-batched pandas UDFs on executors;
+no per-row Python at the Spark level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Local doc-id space within one segment: 2^16 docs, the reference's
+# segment capacity (segment_ops.rs:260-262).
+SEGMENT_BITS = 16
+SEGMENT_SIZE = 1 << SEGMENT_BITS
+LOCAL_MASK = SEGMENT_SIZE - 1
+
+# Doc-id layout: bucket << BUCKET_SHIFT | ordinal-within-bucket.
+# Bucket ordinals get 2^40 of space, so one hash bucket may hold up
+# to ~1.1e12 docs; segment ids remain dense per bucket.
+BUCKET_SHIFT = 40
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte: 7 data bits per byte, MSB = continuation."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    x = v >> np.uint64(7)
+    while x.any():
+        nbytes += (x > 0).astype(np.int64)
+        x = x >> np.uint64(7)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    rem = v.copy()
+    idx = offsets[:-1].copy()
+    mask = np.ones(v.size, dtype=bool)
+    while mask.any():
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+        cont = rem > 0
+        out[idx[mask]] = byte[mask] | (cont[mask].astype(np.uint8) << 7)
+        idx += 1
+        mask &= cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`varbyte_encode`; returns uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    n = int(is_last.sum())
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last[:-1])
+    starts = np.empty(b.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = is_last[:-1]
+    run_start = np.where(starts, np.arange(b.size), 0)
+    np.maximum.accumulate(run_start, out=run_start)
+    pos = (np.arange(b.size) - run_start).astype(np.uint64)
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(vals, group, (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos))
+    return vals
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, len_bytes: np.ndarray):
+    """Encode one sorted (doc_id, tf, len_byte) run for a
+    ``(field, term, segment)`` block.
+
+    Doc ids are stored as varbyte deltas relative to the segment base
+    (``segment << SEGMENT_BITS``); the first entry is absolute-local.
+    Returns ``(doc_bytes, tf_bytes, len_bytes_raw)``.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)[order]
+    len_bytes = np.ascontiguousarray(len_bytes, dtype=np.int64)[order]
+    base = (doc_ids[0] >> SEGMENT_BITS) << SEGMENT_BITS
+    local = (doc_ids - base).astype(np.uint64)
+    deltas = np.empty_like(local)
+    deltas[0] = local[0]
+    np.subtract(local[1:], local[:-1], out=deltas[1:])
+    return (
+        varbyte_encode(deltas),
+        varbyte_encode(tfs.astype(np.uint64)),
+        np.clip(len_bytes, 0, 255).astype(np.uint8).tobytes(),
+    )
+
+
+def decode_block(segment: int, doc_bytes: bytes, tf_bytes: bytes,
+                 len_bytes: bytes):
+    """Inverse of :func:`encode_block`.
+
+    Returns ``(doc_ids int64, tfs int64, len_bytes int64)`` arrays.
+    """
+    deltas = varbyte_decode(doc_bytes)
+    local = np.cumsum(deltas.astype(np.int64))
+    doc_ids = (np.int64(segment) << SEGMENT_BITS) + local
+    tfs = varbyte_decode(tf_bytes).astype(np.int64)
+    lens = np.frombuffer(len_bytes, dtype=np.uint8).astype(np.int64)
+    return doc_ids, tfs, lens

@@ -1,0 +1,202 @@
+"""Analyzer goldens ported 1:1 from the reference's inline tests."""
+
+import pytest
+
+from rusticsearch_spark.analysis import (
+    Edge, ascii_fold, ascii_folding_filter, html_to_text, lowercase_filter,
+    ngram_generate, standard_tokenize,
+)
+from rusticsearch_spark.analysis.analyzers import (
+    parse_analysis_settings, simple_analyzer, standard_analyzer,
+)
+from rusticsearch_spark.analysis.tokenizers import Token, ngram_tokenize
+
+
+# --- standard tokenizer (standard.rs:44-91) ------------------------------
+
+def test_standard_tokenizer():
+    text = ("Up from the bowels of hell he sails, weilding a tankard "
+            "of freshly brewed ale!")
+    expected = ["Up", "from", "the", "bowels", "of", "hell", "he", "sails",
+                "weilding", "a", "tankard", "of", "freshly", "brewed", "ale"]
+    toks = standard_tokenize(text)
+    assert [t.term for t in toks] == expected
+    assert [t.position for t in toks] == list(range(1, 16))
+
+
+def test_standard_tokenizer_cjk():
+    toks = standard_tokenize("こんにちは、ハチ公！")
+    assert toks == [
+        Token("こ", 1), Token("ん", 2), Token("に", 3), Token("ち", 4),
+        Token("は", 5), Token("ハチ", 6), Token("公", 7),
+    ]
+
+
+# --- ngram generator (ngram_generator.rs:118-218) ------------------------
+
+def test_ngram():
+    assert ngram_generate("hello", 2, 3) == [
+        "he", "hel", "el", "ell", "ll", "llo", "lo"]
+
+
+def test_ngram_left_edge():
+    assert ngram_generate("hello", 2, 4, Edge.LEFT) == ["he", "hel", "hell"]
+
+
+def test_ngram_right_edge():
+    assert ngram_generate("hello", 2, 4, Edge.RIGHT) == ["lo", "llo", "ello"]
+
+
+def test_ngram_cjk():
+    assert ngram_generate("こんにちは", 2, 3) == [
+        "こん", "こんに", "んに", "んにち", "にち", "にちは", "ちは"]
+
+
+def test_ngram_graphemes():
+    # ngram_generator.rs:163-180 — grapheme clusters with combining marks
+    u = "u\u0354"
+    n = "n\u030e\u0348\u0330"
+    i = "i\u0319\u032e\u035a\u0326"
+    c = "c\u0309\u035a"
+    o = "o\u0357\u033c\u0329\u0330"
+    d = "d\u0306\u0343\u0365\u0354"
+    e = "e\u0301"
+    word = u + n + i + c + o + d + e
+    assert ngram_generate(word, 2, 3) == [
+        u + n, u + n + i,
+        n + i, n + i + c,
+        i + c, i + c + o,
+        c + o, c + o + d,
+        o + d, o + d + e,
+        d + e,
+    ]
+
+
+@pytest.mark.parametrize("word,mn,mx", [
+    ("", 2, 3), ("hello", 20, 20), ("hello", 0, 0), ("hello", 20, 5)])
+def test_ngram_degenerate(word, mn, mx):
+    assert ngram_generate(word, mn, mx) == []
+
+
+# --- ngram tokenizer (tokenizers/ngram.rs:64-127) ------------------------
+
+def test_ngram_tokenizer():
+    toks = ngram_tokenize("hello", 2, 3)
+    assert toks == [Token(g, 1) for g in
+                    ["he", "hel", "el", "ell", "ll", "llo", "lo"]]
+
+
+def test_edgengram_tokenizer():
+    assert ngram_tokenize("hello world", 2, 3, Edge.LEFT) == [
+        Token("he", 1), Token("hel", 1), Token("wo", 2), Token("wor", 2)]
+
+
+def test_edgengram_tokenizer_max_size():
+    assert ngram_tokenize("hello", 2, 1000, Edge.LEFT) == [
+        Token("he", 1), Token("hel", 1), Token("hell", 1), Token("hello", 1)]
+
+
+def test_edgengram_tokenizer_right():
+    assert ngram_tokenize("hello world", 2, 3, Edge.RIGHT) == [
+        Token("lo", 1), Token("llo", 1), Token("ld", 2), Token("rld", 2)]
+
+
+# --- filters (lowercase.rs:45-84, asciifolding.rs:49-84) -----------------
+
+def test_lowercase_filter():
+    toks = [Token("Hulk", 1), Token("SMASH", 2)]
+    assert lowercase_filter(toks) == [Token("hulk", 1), Token("smash", 2)]
+
+
+def test_lowercase_filter_cjk():
+    toks = [Token("こんにちは", 1), Token("ハチ公", 2), Token("Test", 3)]
+    assert lowercase_filter(toks) == [
+        Token("こんにちは", 1), Token("ハチ公", 2), Token("test", 3)]
+
+
+def test_asciifolding_simple():
+    assert ascii_folding_filter([Token("Ĥéllø", 1)]) == [Token("Hello", 1)]
+
+
+def test_asciifolding_hiragana_not_changed():
+    toks = [Token("こんにちは", 1), Token("ハチ公", 2)]
+    assert ascii_folding_filter(toks) == toks
+
+
+def test_asciifolding_more():
+    assert ascii_fold("Æther") == "AEther"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("Łódź") == "Lodz"
+    assert ascii_fold("naïve café") == "naive cafe"
+    # dakuten kana must NOT be stripped to the base kana
+    assert ascii_fold("がぎぐ") == "がぎぐ"
+
+
+# --- analyzer chains ------------------------------------------------------
+
+def test_standard_analyzer_chain():
+    a = standard_analyzer()
+    assert a.terms("Ĥéllø WORLD") == ["hello", "world"]
+
+
+def test_simple_analyzer():
+    assert simple_analyzer().terms("Hello, World-42!") == [
+        "hello", "world", "42"]
+
+
+def test_parse_analysis_settings():
+    settings = {
+        "settings": {
+            "analysis": {
+                "tokenizer": {
+                    "my_edge": {"type": "edgeNGram", "min_gram": 2,
+                                "max_gram": 3, "side": "front"},
+                },
+                "filter": {
+                    "my_ngram": {"type": "nGram", "min_gram": 2,
+                                 "max_gram": 2},
+                },
+                "analyzer": {
+                    "edge_an": {"type": "custom", "tokenizer": "my_edge",
+                                "filter": ["lowercase"]},
+                    "ng_an": {"type": "custom", "tokenizer": "standard",
+                              "filter": ["lowercase", "my_ngram"]},
+                },
+            }
+        }
+    }
+    reg = parse_analysis_settings(settings)
+    assert reg.get("edge_an").terms("Hello") == ["he", "hel"]
+    assert reg.get("ng_an").terms("abc") == ["ab", "bc"]
+    with pytest.raises(KeyError):
+        reg.get("nope")
+
+
+def test_parse_analysis_settings_errors():
+    with pytest.raises(ValueError):
+        parse_analysis_settings(
+            {"analysis": {"analyzer": {"x": {"tokenizer": "missing"}}}})
+    with pytest.raises(ValueError):
+        parse_analysis_settings(
+            {"analysis": {"analyzer": {"x": {"filter": ["missing"]}}}})
+
+
+# --- html strip -----------------------------------------------------------
+
+def test_html_strip_basic():
+    html = (b"<html><head><title>T</title><script>var x=1;</script></head>"
+            b"<body><h1>Hello &amp; welcome</h1><p>one  two\n three</p>"
+            b"<style>.a{}</style></body></html>")
+    assert html_to_text(html) == "T\nHello & welcome\none two three"
+
+
+def test_html_strip_deterministic():
+    html = b"<p>a</p><p>b</p>"
+    assert html_to_text(html) == html_to_text(html) == "a\nb"
+
+
+def test_html_strip_malformed():
+    # unterminated trailing tag is flushed as data by html.parser —
+    # deterministic (which is the invariant that matters)
+    assert html_to_text(b"<p>ok<div") == "ok<div"
+    assert html_to_text("plain text") == "plain text"
