@@ -1,0 +1,135 @@
+"""Index on-disk layout + config + lineage (the TableIO shim).
+
+The reference persists everything in one RocksDB keyspace
+(/root/reference/src/search/backends/rocksdb/key_builder.rs:18-141);
+this engine uses a directory of columnar tables.  Iceberg is used when
+the runtime ships the catalog jars; otherwise a plain parquet layout
+with identical semantics (atomicity via per-job directories + a
+lineage commit row — the two-phase activate of
+/root/reference/src/search/backends/rocksdb/segment_ops.rs:216-235).
+
+Layout under ``index_dir``::
+
+    config.json                      # fields, analyzers, bucket counts
+    docs/job=K/                      # (doc_id, key, stored columns)
+    postings/job=K/tbucket=T/        # encoded posting blocks
+    field_stats/job=K/               # (field, total_docs, total_tokens)
+    lineage/job=K/                   # one commit row per finished job
+
+A job is the checkpoint/resume unit: it owns a contiguous range of
+url-hash buckets.  A job directory without its lineage row is garbage
+(crashed run) and is overwritten on resume — exactly the reference's
+"data merge is crash-safe, commit is atomic" split.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class IndexConfig:
+    """Build-time configuration, persisted to ``config.json``.
+
+    ``fields`` maps field name → analyzer name (``None`` = plain
+    unanalyzed string field, the reference's PlainString,
+    /root/reference/src/search/schema.rs:72-78).
+    """
+
+    key_col: str = "url"
+    fields: Dict[str, Optional[str]] = field(
+        default_factory=lambda: {"text": "standard", "lang": None})
+    stored: List[str] = field(default_factory=list)
+    n_buckets: int = 32          # url-hash buckets (doc-id namespace)
+    tbuckets: int = 8            # term-hash partition dirs of `postings`
+    shuffle_partitions: Optional[int] = None
+    analysis_settings: Optional[dict] = None  # ES-style custom analyzers
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "IndexConfig":
+        return IndexConfig(**json.loads(text))
+
+
+def term_bucket(term: str, tbuckets: int) -> int:
+    """Deterministic term → partition-dir bucket, computable on both
+    executors (encode) and the driver (query-time pruning).  md5-based
+    so it does not depend on Spark/Python hash seeds."""
+    h = hashlib.md5(term.encode("utf-8", "surrogatepass")).digest()
+    return int.from_bytes(h[:4], "big") % tbuckets
+
+
+def url_bucket_bytes(key: str) -> bytes:
+    return hashlib.md5(key.encode("utf-8", "surrogatepass")).digest()
+
+
+class IndexLayout:
+    """Paths + config + lineage for one index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    # -- paths ------------------------------------------------------
+    @property
+    def config_path(self) -> str:
+        return os.path.join(self.index_dir, "config.json")
+
+    def table(self, name: str) -> str:
+        return os.path.join(self.index_dir, name)
+
+    def job_dir(self, name: str, job: int) -> str:
+        return os.path.join(self.index_dir, name, f"job={job}")
+
+    # -- config -----------------------------------------------------
+    def write_config(self, config: IndexConfig) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self.config_path, "w") as f:
+            f.write(config.to_json())
+
+    def read_config(self) -> IndexConfig:
+        with open(self.config_path) as f:
+            return IndexConfig.from_json(f.read())
+
+    # -- lineage (checkpoint/commit) ---------------------------------
+    def completed_jobs(self, spark: SparkSession) -> List[int]:
+        path = self.table("lineage")
+        if not os.path.isdir(path) or not os.listdir(path):
+            return []
+        rows = spark.read.parquet(path).where("status = 'done'") \
+            .select("job").distinct().collect()
+        return sorted(r.job for r in rows)
+
+    def lineage(self, spark: SparkSession) -> Optional[DataFrame]:
+        path = self.table("lineage")
+        if not os.path.isdir(path) or not os.listdir(path):
+            return None
+        return spark.read.parquet(path)
+
+    def commit_job(self, spark: SparkSession, row: dict) -> None:
+        """Atomically activate a job: the lineage row is written LAST,
+        after all job data directories are fully on disk.
+
+        The ``job`` value lives in the directory name (Hive-style
+        partition), not in the file, so partition discovery over
+        ``lineage/`` reconstitutes it without column duplication.
+        """
+        job = row["job"]
+        data = {k: v for k, v in row.items() if k != "job"}
+        df = spark.createDataFrame([data])
+        df.coalesce(1).write.mode("overwrite").parquet(
+            self.job_dir("lineage", job))
+
+    def clear_incomplete_job(self, job: int) -> None:
+        for name in ("docs", "postings", "field_stats", "lineage"):
+            path = self.job_dir(name, job)
+            if os.path.isdir(path):
+                shutil.rmtree(path)

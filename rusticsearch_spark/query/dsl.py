@@ -1,0 +1,337 @@
+"""Query algebra + the ES-style JSON DSL parsers.
+
+The logical algebra mirrors the reference's ``Query`` enum
+(/root/reference/src/search/query/mod.rs:10-76); the parsers port the
+dispatch table and per-type semantics of
+/root/reference/src/query_parser/ (mod.rs:77-110 and each
+``*_query.rs``).  Everything here is pure driver-side Python — Spark
+enters only in the planner.
+
+Scoring combinators (score_function.rs:21-38,74-88):
+
+* Conjunction / Disjunction / MultiTerm → **average over the number
+  of children** (a child that does not match a doc contributes 0.0);
+* DisjunctionMax → max;
+* boost multiplies term/all scores and is pushed down recursively
+  (query/mod.rs:112-158; no-op short-circuit for boost == 1.0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import List, Optional, Tuple, Union
+
+BM25 = "bm25"
+TFIDF = "tfidf"
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class TermScorer:
+    """similarity + boost (term_scorer.rs:10-18; default BM25
+    k1=1.2 b=0.75 lives in ``similarity.py``)."""
+    similarity: str = BM25
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class All:
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class NoneQuery:
+    pass
+
+
+@dataclass(frozen=True)
+class Term:
+    field: str
+    term: str
+    scorer: TermScorer = TermScorer()
+
+
+@dataclass(frozen=True)
+class Prefix:
+    """MultiTerm with the Prefix selector — the only selector the
+    reference implements (multi_term_selector.rs:3-16); per-doc score
+    is the Avg combinator over the matched dictionary terms."""
+    field: str
+    prefix: str
+    scorer: TermScorer = TermScorer()
+
+
+@dataclass(frozen=True)
+class Conjunction:
+    queries: Tuple["Query", ...]
+
+
+@dataclass(frozen=True)
+class Disjunction:
+    queries: Tuple["Query", ...]
+
+
+@dataclass(frozen=True)
+class DisjunctionMax:
+    queries: Tuple["Query", ...]
+
+
+@dataclass(frozen=True)
+class Filter:
+    query: "Query"
+    filter: "Query"   # score-less
+
+
+@dataclass(frozen=True)
+class Exclude:
+    query: "Query"
+    exclude: "Query"  # score-less
+
+
+Query = Union[All, NoneQuery, Term, Prefix, Conjunction, Disjunction,
+              DisjunctionMax, Filter, Exclude]
+
+
+def boost(q: Query, factor: float) -> Query:
+    """Push a boost multiplier down the tree (query/mod.rs:112-158)."""
+    if factor == 1.0:
+        return q
+    if isinstance(q, All):
+        return All(q.score * factor)
+    if isinstance(q, NoneQuery):
+        return q
+    if isinstance(q, Term):
+        return replace(q, scorer=replace(q.scorer,
+                                         boost=q.scorer.boost * factor))
+    if isinstance(q, Prefix):
+        return replace(q, scorer=replace(q.scorer,
+                                         boost=q.scorer.boost * factor))
+    if isinstance(q, (Conjunction, Disjunction, DisjunctionMax)):
+        return type(q)(tuple(boost(c, factor) for c in q.queries))
+    if isinstance(q, Filter):
+        return Filter(boost(q.query, factor), q.filter)
+    if isinstance(q, Exclude):
+        return Exclude(boost(q.query, factor), q.exclude)
+    raise TypeError(type(q))
+
+
+# ---------------------------------------------------------------------------
+# Parsing context: field → analyzer resolution
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ParseContext:
+    """What the parser needs from index metadata: per-field search
+    analyzer (None = unanalyzed: the raw string is a single term,
+    match_query.rs:41-43) and score suppression for filter branches
+    (query_parser/mod.rs:48-52)."""
+    fields: dict = field(default_factory=lambda: {"text": "standard"})
+    analyzers: Optional[object] = None  # AnalyzerRegistry
+    score_required: bool = True
+
+    def analyze(self, fname: str, text: str) -> List[str]:
+        analyzer_name = self.fields.get(fname)
+        if analyzer_name is None:
+            return [text]
+        from ..analysis.analyzers import AnalyzerRegistry
+        registry = self.analyzers or AnalyzerRegistry()
+        return registry.get(analyzer_name).terms(text)
+
+    def no_score(self) -> "ParseContext":
+        return ParseContext(self.fields, self.analyzers, False)
+
+
+def _as_string(v) -> str:
+    """json_value_to_term-ish (utils.rs:63-77): strings pass through,
+    numbers/bools stringify."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float, str)):
+        return str(v)
+    raise QueryParseError(f"expected scalar, got {type(v).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Individual parsers (one per reference query_parser file)
+# ---------------------------------------------------------------------------
+
+def _parse_match(body: dict, ctx: ParseContext) -> Query:
+    """match_query.rs:22-126."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryParseError("match expects exactly one field")
+    fname, spec = next(iter(body.items()))
+    if fname not in ctx.fields:
+        raise QueryParseError(f"unknown field: {fname!r}")
+    if isinstance(spec, dict):
+        query_text = spec.get("query")
+        if query_text is None:
+            raise QueryParseError("match missing 'query'")
+        operator = spec.get("operator", "or")
+        boost_v = float(spec.get("boost", 1.0))
+    else:
+        query_text, operator, boost_v = spec, "or", 1.0
+    if operator not in ("or", "and"):
+        raise QueryParseError(f"bad operator: {operator!r}")
+    terms = ctx.analyze(fname, _as_string(query_text))
+    if not terms:
+        return NoneQuery()
+    children = tuple(Term(fname, t) for t in terms)
+    q: Query = (children[0] if len(children) == 1 else
+                (Conjunction(children) if operator == "and"
+                 else Disjunction(children)))
+    return boost(q, boost_v)
+
+
+def _parse_multi_match(body: dict, ctx: ParseContext) -> Query:
+    """multi_match_query.rs:22-141: per-field match combined with
+    DisjunctionMax; '^2' field-boost syntax (utils.rs:49-60)."""
+    if not isinstance(body, dict):
+        raise QueryParseError("multi_match expects an object")
+    query_text = body.get("query")
+    fields = body.get("fields")
+    if query_text is None or not isinstance(fields, list) or not fields:
+        raise QueryParseError("multi_match needs 'query' and 'fields'")
+    operator = body.get("operator", "or")
+    boost_v = float(body.get("boost", 1.0))
+    children = []
+    for fspec in fields:
+        fname, _, fboost = str(fspec).partition("^")
+        factor = float(fboost) if fboost else 1.0
+        sub = _parse_match(
+            {fname: {"query": query_text, "operator": operator}}, ctx)
+        children.append(boost(sub, factor))
+    q: Query = (children[0] if len(children) == 1
+                else DisjunctionMax(tuple(children)))
+    return boost(q, boost_v)
+
+
+def _parse_match_all(body: dict, ctx: ParseContext) -> Query:
+    return All(float((body or {}).get("boost", 1.0)))
+
+
+def _parse_match_none(body: dict, ctx: ParseContext) -> Query:
+    return NoneQuery()
+
+
+def _parse_term(body: dict, ctx: ParseContext) -> Query:
+    """term_query.rs:19-79 — exact, unanalyzed."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryParseError("term expects exactly one field")
+    fname, spec = next(iter(body.items()))
+    if fname not in ctx.fields:
+        raise QueryParseError(f"unknown field: {fname!r}")
+    if isinstance(spec, dict):
+        value = spec.get("value")
+        if value is None:
+            raise QueryParseError("term missing 'value'")
+        boost_v = float(spec.get("boost", 1.0))
+    else:
+        value, boost_v = spec, 1.0
+    return boost(Term(fname, _as_string(value)), boost_v)
+
+
+def _parse_terms(body: dict, ctx: ParseContext) -> Query:
+    """terms_query.rs:17-54 — Disjunction of exact terms."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryParseError("terms expects exactly one field")
+    fname, values = next(iter(body.items()))
+    if fname not in ctx.fields:
+        raise QueryParseError(f"unknown field: {fname!r}")
+    if not isinstance(values, list):
+        raise QueryParseError("terms expects a list of values")
+    return Disjunction(tuple(Term(fname, _as_string(v)) for v in values))
+
+
+def _parse_prefix(body: dict, ctx: ParseContext) -> Query:
+    """prefix_query.rs:19-83 — accepts 'value' or 'prefix' keys."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryParseError("prefix expects exactly one field")
+    fname, spec = next(iter(body.items()))
+    if fname not in ctx.fields:
+        raise QueryParseError(f"unknown field: {fname!r}")
+    if isinstance(spec, dict):
+        value = spec.get("value", spec.get("prefix"))
+        if value is None:
+            raise QueryParseError("prefix missing 'value'")
+        boost_v = float(spec.get("boost", 1.0))
+    else:
+        value, boost_v = spec, 1.0
+    return boost(Prefix(fname, _as_string(value)), boost_v)
+
+
+def _parse_and(body, ctx: ParseContext) -> Query:
+    if not isinstance(body, list):
+        raise QueryParseError("'and' expects a list")
+    return Conjunction(tuple(parse(q, ctx) for q in body))
+
+
+def _parse_or(body, ctx: ParseContext) -> Query:
+    if not isinstance(body, list):
+        raise QueryParseError("'or' expects a list")
+    return Disjunction(tuple(parse(q, ctx) for q in body))
+
+
+def _parse_dis_max(body: dict, ctx: ParseContext) -> Query:
+    qs = (body or {}).get("queries")
+    if not isinstance(qs, list):
+        raise QueryParseError("dis_max expects 'queries'")
+    q: Query = DisjunctionMax(tuple(parse(x, ctx) for x in qs))
+    return boost(q, float(body.get("boost", 1.0)))
+
+
+def _parse_not(body, ctx: ParseContext) -> Query:
+    """not_query.rs:16-30 — Exclude{All, q} with q score-less."""
+    return Exclude(All(), parse(body, ctx.no_score()))
+
+
+def _parse_filtered(body: dict, ctx: ParseContext) -> Query:
+    """filtered_query.rs:17-61 — query defaults to match_all; the
+    filter is built score-less (mod.rs:48-52)."""
+    if not isinstance(body, dict):
+        raise QueryParseError("filtered expects an object")
+    inner = (parse(body["query"], ctx) if "query" in body else All())
+    if "filter" not in body:
+        raise QueryParseError("filtered missing 'filter'")
+    return Filter(inner, parse(body["filter"], ctx.no_score()))
+
+
+def _parse_constant_score(body: dict, ctx: ParseContext) -> Query:
+    """constant_score_query.rs:16-50 — Filter{All{boost}, filter}."""
+    if not isinstance(body, dict) or "filter" not in body:
+        raise QueryParseError("constant_score missing 'filter'")
+    boost_v = float(body.get("boost", 1.0))
+    return Filter(All(boost_v), parse(body["filter"], ctx.no_score()))
+
+
+_PARSERS = {
+    "match": _parse_match,
+    "multi_match": _parse_multi_match,
+    "match_all": _parse_match_all,
+    "match_none": _parse_match_none,
+    "term": _parse_term,
+    "terms": _parse_terms,
+    "in": _parse_terms,
+    "prefix": _parse_prefix,
+    "and": _parse_and,
+    "or": _parse_or,
+    "dis_max": _parse_dis_max,
+    "not": _parse_not,
+    "filtered": _parse_filtered,
+    "constant_score": _parse_constant_score,
+}
+
+
+def parse(query_json: dict, ctx: Optional[ParseContext] = None) -> Query:
+    """Dispatch on the single top-level key (query_parser/mod.rs:97-110)."""
+    ctx = ctx or ParseContext()
+    if not isinstance(query_json, dict) or len(query_json) != 1:
+        raise QueryParseError("query object must have exactly one key")
+    key, body = next(iter(query_json.items()))
+    try:
+        parser = _PARSERS[key]
+    except KeyError:
+        raise QueryParseError(f"unrecognized query type: {key!r}") from None
+    return parser(body, ctx)

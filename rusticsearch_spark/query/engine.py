@@ -1,0 +1,474 @@
+"""Query planning + execution over the built index.
+
+Lowers the ``dsl.Query`` tree into DataFrame set-algebra and scoring,
+replacing the reference's two postfix stack machines
+(/root/reference/src/search/backends/rocksdb/search/mod.rs:16-155):
+
+* the **boolean VM** (Roaring intersect/union/difference) becomes
+  joins/unions on doc_id frames, with the Full/Empty constant-folding
+  algebra of planner/boolean_query.rs:131-321 applied symbolically
+  (docsets are ``ALL``/``NONE``/DataFrame — an ``ALL`` operand never
+  materializes the universe, the negation-pushdown effect);
+* the **score VM** becomes per-term f32 scoring inside an
+  Arrow-batched decode UDF plus groupBy-level combinators
+  (avg over child *count*, max — score_function.rs:21-38,74-88);
+* the per-segment loop + TopScoreCollector become partition-parallel
+  scans + ``ORDER BY score DESC, doc_id LIMIT k``
+  (TakeOrderedAndProject), with doc_id as the deterministic
+  tie-break (the reference leaves tie order unspecified,
+  collectors/top_score.rs:49-110).
+
+Single-term top-k additionally runs **block-max WAND pruning**: pass 1
+decodes just enough highest-upper-bound blocks to cover k docs and
+establishes the true k-th score θ; pass 2 decodes only remaining
+blocks whose (max_tf, min_len) upper bound ≥ θ.  Pruning is provably
+answer-preserving — a skipped block's every doc scores < θ.
+
+Precision policy: per-term scores are exact f32 (numpy, matching the
+reference's Rust f32 math bit-for-bit); combinator sums/averages
+accumulate in float64 over those f32 values, so near-tie ranks may
+differ from the reference by f32-accumulation order at ~1e-7 relative
+— ties are resolved by doc_id.  The pytest oracle pins this policy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis.analyzers import AnalyzerRegistry, parse_analysis_settings
+from ..index.codec import decode_block
+from ..index.layout import IndexConfig, IndexLayout, term_bucket
+from ..similarity import bm25_f32, lengths_from_bytes, tfidf_f32
+from . import dsl
+
+_SCORE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+ALL = "__all__"
+NONE = "__none__"
+DocSet = Union[str, DataFrame]          # ALL | NONE | DataFrame(doc_id)
+Scored = Tuple[str, object]             # ("all", const) | ("none", None)
+                                        # | ("df", DataFrame(doc_id, score))
+
+
+def _decode_score_fn(total_docs: int, total_tokens: int, similarity: str,
+                     boost: float, needs_score: bool):
+    """mapInPandas body: posting blocks → (doc_id, score) rows.
+
+    Expects columns (segment, doc_bytes, tf_bytes, len_bytes,
+    df_global).  All math in f32 (similarity.rs); boost multiplies
+    after similarity (rocksdb/search/mod.rs:110-111).
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b32 = np.float32(boost)
+        for pdf in batches:
+            out_ids: List[np.ndarray] = []
+            out_scores: List[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs, lens = decode_block(
+                    row.segment, row.doc_bytes, row.tf_bytes, row.len_bytes)
+                if needs_score:
+                    if similarity == dsl.TFIDF:
+                        s = tfidf_f32(tfs, total_docs, row.df_global)
+                    else:
+                        s = bm25_f32(tfs, lengths_from_bytes(lens),
+                                     total_tokens, total_docs, row.df_global)
+                    s = (s * b32).astype(np.float64)
+                else:
+                    s = np.zeros(len(doc_ids), dtype=np.float64)
+                out_ids.append(doc_ids)
+                out_scores.append(s)
+            if out_ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(out_ids),
+                    "score": np.concatenate(out_scores),
+                })
+
+    return _run
+
+
+class SearchEngine:
+    """Read-side handle on one index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.layout = IndexLayout(index_dir)
+        self.config: IndexConfig = self.layout.read_config()
+        if self.config.analysis_settings:
+            self.registry = parse_analysis_settings(
+                self.config.analysis_settings)
+        else:
+            self.registry = AnalyzerRegistry()
+        self.postings = spark.read.parquet(self.layout.table("postings"))
+        self.docs = spark.read.parquet(self.layout.table("docs"))
+        stats = spark.read.parquet(self.layout.table("field_stats")) \
+            .groupBy("field").agg(F.sum("total_docs").alias("d"),
+                                  F.sum("total_tokens").alias("t")).collect()
+        # global per-field stats, memoized for the engine's lifetime
+        # (the reference memoizes per query, statistics.rs:46-78 —
+        # ours are immutable per snapshot so engine-lifetime is safe)
+        self.field_stats = {r.field: (int(r.d), int(r.t)) for r in stats}
+
+    # ---------------------------------------------------------------
+    # public API (the reference's _search/_count semantics)
+    # ---------------------------------------------------------------
+    def parse(self, query_json: dict) -> dsl.Query:
+        ctx = dsl.ParseContext(fields=dict(self.config.fields),
+                               analyzers=self.registry)
+        return dsl.parse(query_json, ctx)
+
+    def search(self, query_json: dict, size: int = 10, from_: int = 0,
+               wand: bool = True) -> DataFrame:
+        """Top-k (doc_id, score), score desc, doc_id asc tie-break."""
+        q = self.parse(query_json)
+        k = from_ + size
+        if wand and isinstance(q, dsl.Term):
+            frame = self._score_term(q.field, q.term, q.scorer, k=k)
+        else:
+            frame = self._materialize(self._score(q))
+        out = frame.orderBy(F.desc("score"), F.asc("doc_id"))
+        if from_:
+            out = out.offset(from_)
+        return out.limit(size)
+
+    def hits(self, query_json: dict, size: int = 10,
+             from_: int = 0) -> List[dict]:
+        """Collected hits with the document key (search_api.rs:124-151)."""
+        top = self.search(query_json, size=size, from_=from_)
+        key = self.config.key_col
+        joined = (top.join(self.docs.select("doc_id", key), "doc_id")
+                  .orderBy(F.desc("score"), F.asc("doc_id")).collect())
+        return [{"key": r[key], "doc_id": r.doc_id, "score": r.score}
+                for r in joined]
+
+    def count(self, query_json: Optional[dict] = None) -> int:
+        """_count: scoring elided entirely (planner/mod.rs:43-47)."""
+        if query_json is None:
+            return self.docs.count()
+        ds = self._docset(self.parse(query_json))
+        if isinstance(ds, str):
+            return self.docs.count() if ds == ALL else 0
+        return ds.count()
+
+    # ---------------------------------------------------------------
+    # term-level scoring
+    # ---------------------------------------------------------------
+    def _term_blocks(self, field: str, term: str) -> DataFrame:
+        tb = term_bucket(term, self.config.tbuckets)
+        return self.postings.where(
+            (F.col("tbucket") == tb) & (F.col("field") == field)
+            & (F.col("term") == term))
+
+    def _decode(self, blocks: DataFrame, field: str, similarity: str,
+                boost: float, needs_score: bool) -> DataFrame:
+        """blocks (with df_global column) → (doc_id, score) frame."""
+        d, t = self.field_stats.get(field, (0, 0))
+        cols = ["segment", "doc_bytes", "tf_bytes", "len_bytes", "df_global"]
+        return blocks.select(*cols).mapInPandas(
+            _decode_score_fn(d, t, similarity, boost, needs_score),
+            schema=_SCORE_SCHEMA)
+
+    def _with_global_df(self, blocks: DataFrame) -> DataFrame:
+        """Attach the across-segments document frequency (the global
+        ``tdf`` stat, statistics.rs:33-78) to every block row."""
+        agg = blocks.groupBy("field", "term").agg(
+            F.sum("df_block").cast("long").alias("df_global"))
+        return blocks.join(F.broadcast(agg), ["field", "term"])
+
+    def _score_term(self, field: str, term: str, scorer: dsl.TermScorer,
+                    k: Optional[int] = None,
+                    needs_score: bool = True) -> DataFrame:
+        blocks = self._term_blocks(field, term)
+        if k is not None and needs_score and scorer.similarity == dsl.BM25:
+            pruned = self._wand_prune(blocks, field, scorer, k)
+            if pruned is not None:
+                return pruned
+        return self._decode(self._with_global_df(blocks), field,
+                            scorer.similarity, scorer.boost, needs_score)
+
+    def _wand_prune(self, blocks: DataFrame, field: str,
+                    scorer: dsl.TermScorer, k: int,
+                    max_meta: int = 200_000) -> Optional[DataFrame]:
+        """Two-pass block-max pruning for single-term top-k.
+
+        Returns a frame containing at least the true top-k (with exact
+        scores) or None when pruning is not applicable (too many block
+        rows to plan on the driver, or few enough blocks that pruning
+        can't win).
+        """
+        meta = blocks.select("segment", "df_block", "max_tf", "min_len") \
+            .limit(max_meta + 1).collect()
+        if len(meta) > max_meta or len(meta) <= 2:
+            return None
+        seg = np.array([m.segment for m in meta], dtype=np.int64)
+        dfb = np.array([m.df_block for m in meta], dtype=np.int64)
+        mtf = np.array([m.max_tf for m in meta], dtype=np.int64)
+        mln = np.array([m.min_len for m in meta], dtype=np.int64)
+        d, t = self.field_stats.get(field, (0, 0))
+        df_global = int(dfb.sum())
+        ub = bm25_f32(mtf, lengths_from_bytes(mln), t, d, df_global) \
+            * np.float32(scorer.boost)
+        order = np.argsort(-ub, kind="stable")
+        covered = np.cumsum(dfb[order])
+        n1 = int(np.searchsorted(covered, k) + 1)
+        n1 = min(n1, len(meta))
+        pass1_segs = seg[order[:n1]].tolist()
+        if n1 == len(meta):
+            sel = blocks
+            return self._decode(
+                sel.withColumn("df_global", F.lit(df_global)), field,
+                scorer.similarity, scorer.boost, True)
+        p1 = self._decode(
+            blocks.where(F.col("segment").isin(pass1_segs))
+            .withColumn("df_global", F.lit(df_global)),
+            field, scorer.similarity, scorer.boost, True)
+        top1 = p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        if len(top1) < k:
+            theta = -math.inf          # fewer than k docs: no pruning
+        else:
+            theta = top1[-1].score
+        rest = order[n1:]
+        keep = rest[ub[rest].astype(np.float64) >= theta]
+        if keep.size == 0:
+            return self.spark.createDataFrame(
+                [(r.doc_id, r.score) for r in top1], schema=_SCORE_SCHEMA)
+        if keep.size > 5000:
+            # pruning won't win; decode everything-but-pass-1 with a
+            # small NOT IN instead of a giant IN expression
+            p2_blocks = blocks.where(~F.col("segment").isin(pass1_segs))
+        else:
+            p2_blocks = blocks.where(F.col("segment").isin(
+                seg[keep].tolist()))
+        p2 = self._decode(
+            p2_blocks.withColumn("df_global", F.lit(df_global)),
+            field, scorer.similarity, scorer.boost, True)
+        p1_again = self.spark.createDataFrame(
+            [(r.doc_id, r.score) for r in top1], schema=_SCORE_SCHEMA)
+        return p1_again.unionByName(p2)
+
+    def _score_prefix(self, q: dsl.Prefix,
+                      needs_score: bool = True) -> Optional[DataFrame]:
+        """MultiTerm(Prefix): per-doc Avg over the matched dictionary
+        terms (score_function.rs:61-79; absent term contributes 0)."""
+        blocks = self.postings.where(
+            (F.col("field") == q.field)
+            & (F.col("term").startswith(q.prefix)))
+        n_terms = blocks.select("term").distinct().count()
+        if n_terms == 0:
+            return None
+        per_term = self._decode(self._with_global_df(blocks), q.field,
+                                q.scorer.similarity, q.scorer.boost,
+                                needs_score)
+        if not needs_score:
+            return per_term.select("doc_id").distinct() \
+                .withColumn("score", F.lit(0.0))
+        return per_term.groupBy("doc_id").agg(
+            (F.sum("score") / F.lit(float(n_terms))).alias("score"))
+
+    # ---------------------------------------------------------------
+    # boolean docsets (scoring elided — the reference's no_score path)
+    # ---------------------------------------------------------------
+    def _docset(self, q: dsl.Query) -> DocSet:
+        if isinstance(q, dsl.All):
+            return ALL
+        if isinstance(q, dsl.NoneQuery):
+            return NONE
+        if isinstance(q, dsl.Term):
+            return self._score_term(q.field, q.term, q.scorer,
+                                    needs_score=False).select("doc_id")
+        if isinstance(q, dsl.Prefix):
+            f = self._score_prefix(q, needs_score=False)
+            return NONE if f is None else f.select("doc_id").distinct()
+        if isinstance(q, dsl.Conjunction):
+            acc: DocSet = ALL
+            for c in q.queries:
+                acc = self._intersect(acc, self._docset(c))
+                if acc == NONE:
+                    return NONE
+            return acc
+        if isinstance(q, (dsl.Disjunction, dsl.DisjunctionMax)):
+            acc = NONE
+            for c in q.queries:
+                acc = self._union(acc, self._docset(c))
+                if acc == ALL:
+                    return ALL
+            return acc
+        if isinstance(q, dsl.Filter):
+            return self._intersect(self._docset(q.query),
+                                   self._docset(q.filter))
+        if isinstance(q, dsl.Exclude):
+            return self._subtract(self._docset(q.query),
+                                  self._docset(q.exclude))
+        raise TypeError(type(q))
+
+    # Full/Empty constant folding (boolean_query.rs:131-321): the
+    # symbolic ALL/NONE operands never materialize the universe.
+    def _intersect(self, a: DocSet, b: DocSet) -> DocSet:
+        if NONE in (a, b):
+            return NONE
+        if a == ALL:
+            return b
+        if b == ALL:
+            return a
+        return a.join(b, "doc_id", "left_semi")
+
+    def _union(self, a: DocSet, b: DocSet) -> DocSet:
+        if ALL in (a, b):
+            return ALL
+        if a == NONE:
+            return b
+        if b == NONE:
+            return a
+        return a.unionByName(b).distinct()
+
+    def _subtract(self, a: DocSet, b: DocSet) -> DocSet:
+        if a == NONE or b == ALL:
+            return NONE
+        if b == NONE:
+            return a
+        if a == ALL:
+            # root-negation fallback: universe minus matches
+            # (rocksdb/search/mod.rs:64-74)
+            return self.docs.select("doc_id").join(b, "doc_id", "left_anti")
+        return a.join(b, "doc_id", "left_anti")
+
+    # ---------------------------------------------------------------
+    # scored evaluation
+    # ---------------------------------------------------------------
+    def _score(self, q: dsl.Query) -> Scored:
+        if isinstance(q, dsl.All):
+            return ("all", q.score)
+        if isinstance(q, dsl.NoneQuery):
+            return ("none", None)
+        if isinstance(q, dsl.Term):
+            return ("df", self._score_term(q.field, q.term, q.scorer))
+        if isinstance(q, dsl.Prefix):
+            f = self._score_prefix(q)
+            return ("none", None) if f is None else ("df", f)
+        if isinstance(q, dsl.Conjunction):
+            return self._combine(q.queries, mode="and")
+        if isinstance(q, dsl.Disjunction):
+            return self._combine(q.queries, mode="or")
+        if isinstance(q, dsl.DisjunctionMax):
+            return self._combine(q.queries, mode="max")
+        if isinstance(q, dsl.Filter):
+            inner = self._score(q.query)
+            fset = self._docset(q.filter)
+            return self._apply_filter(inner, fset, anti=False)
+        if isinstance(q, dsl.Exclude):
+            inner = self._score(q.query)
+            eset = self._docset(q.exclude)
+            return self._apply_filter(inner, eset, anti=True)
+        raise TypeError(type(q))
+
+    def _apply_filter(self, inner: Scored, fset: DocSet,
+                      anti: bool) -> Scored:
+        kind, val = inner
+        if kind == "none":
+            return inner
+        if not anti:
+            if fset == NONE:
+                return ("none", None)
+            if fset == ALL:
+                return inner
+            if kind == "all":
+                return ("df", fset.select("doc_id")
+                        .withColumn("score", F.lit(float(val))))
+            return ("df", val.join(fset, "doc_id", "left_semi"))
+        # anti (Exclude)
+        if fset == NONE:
+            return inner
+        if fset == ALL:
+            return ("none", None)
+        if kind == "all":
+            frame = self.docs.select("doc_id") \
+                .join(fset, "doc_id", "left_anti") \
+                .withColumn("score", F.lit(float(val)))
+            return ("df", frame)
+        return ("df", val.join(fset, "doc_id", "left_anti"))
+
+    def _combine(self, children: Tuple[dsl.Query, ...], mode: str) -> Scored:
+        """Avg (and/or) and Max combinators over child frames.
+
+        Avg divides by the NUMBER OF CHILDREN, non-matching children
+        contribute 0.0 (score_function.rs:80-88 +
+        rocksdb/search/mod.rs:112-116).
+        """
+        scored = [self._score(c) for c in children]
+        n = len(scored)
+        if n == 0:
+            return ("none", None)
+        if any(k == "none" for k, _ in scored) and mode == "and":
+            return ("none", None)
+        consts = [v for k, v in scored if k == "all"]
+        frames = [v for k, v in scored if k == "df"]
+        if mode == "and":
+            if not frames:
+                return ("all", sum(consts) / n)
+            merged = self._grouped(frames)
+            matched = merged.where(F.col("n_matched") == len(frames))
+            score = ((F.col("sum_score") + F.lit(float(sum(consts))))
+                     / F.lit(float(n)))
+            return ("df", matched.select("doc_id", score.alias("score")))
+        if mode == "or":
+            if not frames:
+                if not consts:
+                    return ("none", None)
+                return ("all", sum(consts) / n)
+            merged = self._grouped(frames)
+            score = ((F.col("sum_score") + F.lit(float(sum(consts))))
+                     / F.lit(float(n)))
+            frame = merged.select("doc_id", score.alias("score"))
+            if consts:   # an All child ⇒ every doc matches
+                rest = (self.docs.select("doc_id")
+                        .join(merged.select("doc_id"), "doc_id", "left_anti")
+                        .withColumn("score",
+                                    F.lit(float(sum(consts)) / float(n))))
+                frame = frame.unionByName(rest)
+            return ("df", frame)
+        # mode == "max"
+        if not frames:
+            if not consts:
+                return ("none", None)
+            return ("all", max(consts))
+        cmax = max(consts) if consts else None
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f)
+        merged = union.groupBy("doc_id").agg(F.max("score").alias("score"))
+        if cmax is not None:
+            merged = merged.select(
+                "doc_id", F.greatest(F.col("score"),
+                                     F.lit(float(cmax))).alias("score"))
+            rest = (self.docs.select("doc_id")
+                    .join(merged.select("doc_id"), "doc_id", "left_anti")
+                    .withColumn("score", F.lit(float(cmax))))
+            merged = merged.unionByName(rest)
+        return ("df", merged)
+
+    def _grouped(self, frames: List[DataFrame]) -> DataFrame:
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f)
+        return union.groupBy("doc_id").agg(
+            F.count("*").alias("n_matched"),
+            F.sum("score").alias("sum_score"))
+
+    def _materialize(self, scored: Scored) -> DataFrame:
+        kind, val = scored
+        if kind == "df":
+            return val
+        if kind == "none":
+            return self.spark.createDataFrame([], schema=_SCORE_SCHEMA)
+        return self.docs.select("doc_id") \
+            .withColumn("score", F.lit(float(val)))

@@ -63,6 +63,13 @@ def length_from_byte(len_byte: int | None) -> np.float32:
 # f32 scoring (numpy, vectorized) — similarity.rs semantics
 # ---------------------------------------------------------------------------
 
+def lengths_from_bytes(len_bytes) -> np.ndarray:
+    """Vectorized :func:`length_from_byte` over an int array (f32)."""
+    lb = np.asarray(len_bytes, dtype=np.float32)
+    sq = lb / np.float32(3.0) + np.float32(1.0)
+    return np.where(lb == 0, np.float32(1.0), sq * sq).astype(np.float32)
+
+
 def tf_weight_f32(term_frequency):
     """``ln(tf + 1) + 1`` in f32 (similarity.rs:8-11)."""
     tf = np.asarray(term_frequency, dtype=np.float32)
