@@ -1,0 +1,92 @@
+"""End-to-end rank-identity: the Spark engine vs the pure-Python
+oracle (which reimplements the reference's exact f32 semantics —
+segment_builder quantization + similarity.rs math + score-VM
+combinators).  Top-k doc_ids must be identical in order; scores must
+agree to f32 ULP tolerance.  Counts (the _count path, scoring elided)
+must be exact."""
+
+import numpy as np
+import pytest
+
+QUERIES = [
+    ("match_or", {"match": {"text": "spark query"}}),
+    ("match_and", {"match": {"text": {"query": "spark query",
+                                      "operator": "and"}}}),
+    ("match_single", {"match": {"text": "merge"}}),
+    ("match_boost", {"match": {"text": {"query": "table scan",
+                                        "boost": 2.5}}}),
+    ("term_exact", {"term": {"text": "window"}}),
+    ("term_lang", {"term": {"lang": "en"}}),
+    ("terms_in", {"terms": {"lang": ["en", "fr", "zh"]}}),
+    ("prefix", {"prefix": {"text": "sc"}}),
+    ("and_combo", {"and": [{"match": {"text": "query"}},
+                           {"term": {"lang": "en"}}]}),
+    ("or_combo", {"or": [{"match": {"text": "hash join"}},
+                         {"term": {"lang": "fr"}}]}),
+    ("not_term", {"not": {"term": {"lang": "en"}}}),
+    ("filtered", {"filtered": {"query": {"match": {"text": "table scan"}},
+                               "filter": {"term": {"lang": "en"}}}}),
+    ("constant_score", {"constant_score": {
+        "filter": {"match": {"text": "merge sort"}}, "boost": 7.0}}),
+    ("multi_match", {"multi_match": {"query": "spark en",
+                                     "fields": ["text^2", "lang"]}}),
+    ("match_all", {"match_all": {"boost": 1.5}}),
+    ("match_none", {"match_none": {}}),
+]
+
+
+@pytest.mark.parametrize("name,query", QUERIES, ids=[q[0] for q in QUERIES])
+def test_topk_rank_identity(engine, oracle, name, query):
+    k = 10
+    got = [(r.doc_id, r.score) for r in
+           engine.search(query, size=k).collect()]
+    want = oracle.search(engine.parse(query), k=k)
+    assert [g[0] for g in got] == [w[0] for w in want], \
+        f"{name}: doc rank mismatch\n got={got}\nwant={want}"
+    if want:
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], rtol=2e-6, atol=1e-7,
+            err_msg=f"{name}: score drift")
+
+
+@pytest.mark.parametrize("name,query", QUERIES, ids=[q[0] for q in QUERIES])
+def test_count_exact(engine, oracle, name, query):
+    assert engine.count(query) == oracle.count(engine.parse(query))
+
+
+def test_count_missing_body_is_match_all(engine, oracle):
+    # search_api.rs:51-55: no body ⇒ count of Query::all()
+    assert engine.count() == len(oracle.doc_ids)
+
+
+def test_pagination_offsets(engine, oracle):
+    q = {"match": {"text": "spark query"}}
+    full = oracle.search(engine.parse(q), k=20)
+    page = [(r.doc_id, r.score) for r in
+            engine.search(q, size=5, from_=5).collect()]
+    assert [p[0] for p in page] == [w[0] for w in full[5:10]]
+
+
+def test_missing_term_empty(engine, oracle):
+    q = {"match": {"text": "zzzzzzunseen"}}
+    assert engine.search(q, size=10).collect() == []
+    assert engine.count(q) == 0
+
+
+def test_wand_pruning_matches_full_eval(engine):
+    """Block-max WAND (single-term fast path) must equal the unpruned
+    evaluation exactly — pruning is answer-preserving."""
+    q = {"term": {"text": "table"}}
+    pruned = [(r.doc_id, r.score) for r in
+              engine.search(q, size=10, wand=True).collect()]
+    full = [(r.doc_id, r.score) for r in
+            engine.search(q, size=10, wand=False).collect()]
+    assert pruned == full
+
+
+def test_hits_join_keys(engine):
+    hits = engine.hits({"match": {"text": "merge"}}, size=3)
+    assert len(hits) == 3
+    for h in hits:
+        assert h["key"].startswith("https://")
+        assert h["score"] > 0
