@@ -1,0 +1,674 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator from SURVEY.md §2 (or a
+training-data op) end-to-end: the Spark side runs through the real
+engine (index build → query plan → decode/score), the oracle side is
+an independent ANSI-SQL restatement DuckDB executes over the same
+parquet.  Column names/types are aligned pairwise; scores are double
+precision on both sides (engine ``precision="f64"``) rounded to 6 dp.
+
+The FTS queries use the SQL-expressible ``simple`` analyzer
+(lowercase ``[a-z0-9]+`` runs) so tokenization itself has an exact
+SQL oracle; reference-exact f32 scoring + the UAX#29 standard
+analyzer are covered by the pytest rank-identity suite instead
+(tests/test_search_rank_identity.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.build import build_index
+from .index.layout import IndexConfig, IndexLayout
+from .query.engine import SearchEngine
+from .similarity import bm25_sql, length_byte_sql
+
+# ---------------------------------------------------------------------------
+# engine cache (one index per sf_dir, reused across driver calls)
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = "/tmp/rusticsearch_spark_driver_idx"
+_FIELDS = {"text": "simple", "lang": None, "source": None}
+_engines: Dict[str, SearchEngine] = {}
+
+
+def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    key = os.path.normpath(sf_dir)
+    if key in _engines:
+        return _engines[key]
+    idx_dir = os.path.join(_CACHE_ROOT, os.path.basename(key))
+    layout = IndexLayout(idx_dir)
+    need_build = True
+    try:
+        if layout.completed_jobs(spark) and \
+                layout.read_config().fields == _FIELDS:
+            need_build = False
+    except Exception:
+        pass
+    if need_build:
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .withColumnRenamed("doc_id", "src_doc_id"))
+        build_index(spark, docs, idx_dir,
+                    IndexConfig(key_col="src_doc_id", fields=dict(_FIELDS),
+                                n_buckets=8, tbuckets=4), jobs=1)
+    eng = SearchEngine(spark, idx_dir, precision="f64")
+    _engines[key] = eng
+    return eng
+
+
+def _scored(eng: SearchEngine, query_json: dict) -> DataFrame:
+    """All matching docs as (doc_id, score) in source doc_id space."""
+    frame = eng._materialize(eng._score(eng.parse(query_json)))
+    return (frame.join(eng.docs.select("doc_id", "src_doc_id"), "doc_id")
+            .select(F.col("src_doc_id").alias("doc_id"),
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# shared oracle-SQL prelude (DuckDB dialect; ANSI-portable)
+# ---------------------------------------------------------------------------
+
+_PRELUDE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS d,
+         (SELECT count(*) FROM toks) AS t
+),
+dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+"""
+
+_LB = length_byte_sql("dl.n")
+_SCORE = bm25_sql("tf.tf", f"({_LB})", "dfreq.df", "stats.d", "stats.t")
+
+
+def _ts_cte(terms: list) -> str:
+    """term-scores CTE for a term list on the text field."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f""",
+ts AS (
+  SELECT tf.doc_id, tf.tok, {_SCORE} AS s
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.tok IN ({in_list})
+)"""
+
+
+def _lang_score(lang_values: list) -> str:
+    """Per-doc score rows for exact terms on the plain `lang` field:
+    tf=1, len_byte=0 (single-token field), field stats over lang."""
+    in_list = ", ".join(f"'{v}'" for v in lang_values)
+    score = bm25_sql("1", "0", "lf.df", "ls.d", "ls.t")
+    return f"""
+WITH ls AS (
+  SELECT count(*) AS d, count(*) AS t FROM documents
+  WHERE lang IS NOT NULL
+),
+lf AS (SELECT lang, count(*)::BIGINT AS df FROM documents
+       WHERE lang IS NOT NULL GROUP BY 1)
+SELECT d.doc_id, {score} AS s
+FROM documents d JOIN lf ON d.lang = lf.lang CROSS JOIN ls
+WHERE d.lang IN ({in_list})
+"""
+
+
+# ---------------------------------------------------------------------------
+# FTS queries (engine-backed)
+# ---------------------------------------------------------------------------
+
+_MATCH_TERMS = ["key", "value", "data"]
+
+
+def q_fts_match_or(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"match": {"text": " ".join(_MATCH_TERMS)}})
+
+
+def sql_fts_match_or():
+    return _PRELUDE + _ts_cte(_MATCH_TERMS) + f"""
+SELECT ts.doc_id AS doc_id,
+       ROUND(SUM(ts.s) / {len(_MATCH_TERMS)}.0, 6) AS score
+FROM ts GROUP BY 1
+"""
+
+
+def q_fts_match_and(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"match": {"text": {
+        "query": " ".join(_MATCH_TERMS), "operator": "and"}}})
+
+
+def sql_fts_match_and():
+    n = len(_MATCH_TERMS)
+    return _PRELUDE + _ts_cte(_MATCH_TERMS) + f"""
+SELECT ts.doc_id AS doc_id, ROUND(SUM(ts.s) / {n}.0, 6) AS score
+FROM ts GROUP BY 1
+HAVING count(DISTINCT ts.tok) = {n}
+"""
+
+
+def q_fts_term_single(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"term": {"text": "query"}})
+
+
+def sql_fts_term_single():
+    return _PRELUDE + _ts_cte(["query"]) + """
+SELECT ts.doc_id AS doc_id, ROUND(ts.s, 6) AS score FROM ts
+"""
+
+
+def q_fts_match_boost(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"match": {"text": {"query": "merge sort",
+                                            "boost": 2.5}}})
+
+
+def sql_fts_match_boost():
+    return _PRELUDE + _ts_cte(["merge", "sort"]) + """
+SELECT ts.doc_id AS doc_id, ROUND(SUM(2.5 * ts.s) / 2.0, 6) AS score
+FROM ts GROUP BY 1
+"""
+
+
+def q_fts_count(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    n = eng.count({"match": {"text": "merge sort"}})
+    return spark.createDataFrame([(n,)], "cnt bigint")
+
+
+def sql_fts_count():
+    return _PRELUDE + """
+SELECT count(DISTINCT doc_id)::BIGINT AS cnt
+FROM tf WHERE tok IN ('merge', 'sort')
+"""
+
+
+def q_fts_prefix(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"prefix": {"text": "sc"}})
+
+
+def sql_fts_prefix():
+    return _PRELUDE + f""",
+pts AS (
+  SELECT tf.doc_id, tf.tok, {_SCORE} AS s
+  FROM tf JOIN dfreq USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.tok LIKE 'sc%'
+),
+nt AS (SELECT count(DISTINCT tok) AS n FROM dfreq WHERE tok LIKE 'sc%')
+SELECT pts.doc_id AS doc_id, ROUND(SUM(pts.s) / MAX(nt.n), 6) AS score
+FROM pts CROSS JOIN nt GROUP BY 1
+"""
+
+
+def q_fts_filtered(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"filtered": {
+        "query": {"match": {"text": "table scan"}},
+        "filter": {"term": {"lang": "en"}}}})
+
+
+def sql_fts_filtered():
+    return _PRELUDE + _ts_cte(["table", "scan"]) + """
+SELECT ts.doc_id AS doc_id, ROUND(SUM(ts.s) / 2.0, 6) AS score
+FROM ts
+WHERE ts.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+GROUP BY 1
+"""
+
+
+def q_fts_exclude(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"not": {"term": {"lang": "en"}}})
+
+
+def sql_fts_exclude():
+    return """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE COALESCE(lang, '') <> 'en'
+"""
+
+
+def q_fts_constant_score(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"constant_score": {
+        "filter": {"match": {"text": "window"}}, "boost": 7.0}})
+
+
+def sql_fts_constant_score():
+    return _PRELUDE + """
+SELECT DISTINCT tf.doc_id AS doc_id, 7.0 AS score
+FROM tf WHERE tok = 'window'
+"""
+
+
+def q_fts_terms_in(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"terms": {"lang": ["en", "fr"]}})
+
+
+def sql_fts_terms_in():
+    return f"""
+WITH lsc AS ({_lang_score(['en', 'fr'])})
+SELECT doc_id, ROUND(SUM(s) / 2.0, 6) AS score FROM lsc GROUP BY 1
+"""
+
+
+def q_fts_dis_max(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"multi_match": {
+        "query": "src3", "fields": ["text^2", "source"]}})
+
+
+def sql_fts_dis_max():
+    src_score = bm25_sql("1", "0", "sf.df", "ss.d", "ss.t")
+    return _PRELUDE + _ts_cte(["src3"]) + f""",
+ss AS (SELECT count(*) AS d, count(*) AS t FROM documents
+       WHERE source IS NOT NULL),
+sfq AS (SELECT source, count(*)::BIGINT AS df FROM documents
+        WHERE source IS NOT NULL GROUP BY 1),
+sides AS (
+  SELECT doc_id, 2.0 * s AS s FROM ts
+  UNION ALL
+  SELECT d.doc_id, {src_score.replace('sf.', 'sfq.')} AS s
+  FROM documents d JOIN sfq ON d.source = sfq.source CROSS JOIN ss
+  WHERE d.source = 'src3'
+)
+SELECT doc_id, ROUND(MAX(s), 6) AS score FROM sides GROUP BY 1
+"""
+
+
+def q_fts_term_freqs(spark, sf_dir):
+    """Index-content integrity: global (term, df, total_tf) straight
+    from the compressed posting blocks."""
+    eng = get_engine(spark, sf_dir)
+    return (eng.postings.where(F.col("field") == "text")
+            .groupBy("term")
+            .agg(F.sum("df_block").cast("long").alias("df"),
+                 F.sum("sum_tf").cast("long").alias("total_tf")))
+
+
+def sql_fts_term_freqs():
+    return _PRELUDE + """
+SELECT tok AS term, count(*)::BIGINT AS df, SUM(tf)::BIGINT AS total_tf
+FROM tf GROUP BY 1
+"""
+
+
+def q_fts_doc_len(spark, sf_dir):
+    """Quantized doc-length parity: decode (n_tokens, len_byte) per
+    doc from the posting blocks."""
+    import pandas as pd
+
+    from .index.codec import decode_block
+    eng = get_engine(spark, sf_dir)
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_ids, tfs, lens = decode_block(
+                    r.segment, r.doc_bytes, r.tf_bytes, r.len_bytes)
+                for d, t, l in zip(doc_ids.tolist(), tfs.tolist(),
+                                   lens.tolist()):
+                    rows.append((d, t, l))
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=["doc_id", "tf", "len_byte"])
+
+    per_doc = (eng.postings.where(F.col("field") == "text")
+               .select("segment", "doc_bytes", "tf_bytes", "len_bytes")
+               .mapInPandas(_decode,
+                            "doc_id long, tf long, len_byte int")
+               .groupBy("doc_id")
+               .agg(F.sum("tf").alias("n_tokens"),
+                    F.max("len_byte").alias("len_byte")))
+    return (per_doc.join(eng.docs.select("doc_id", "src_doc_id"), "doc_id")
+            .select(F.col("src_doc_id").alias("doc_id"),
+                    "n_tokens", "len_byte"))
+
+
+def sql_fts_doc_len():
+    lb = length_byte_sql("dl.n")
+    return _PRELUDE + f"""
+SELECT dl.doc_id AS doc_id, dl.n::BIGINT AS n_tokens, {lb} AS len_byte
+FROM dl
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .ops.dedup import exact_duplicates
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def sql_dedup_exact():
+    return """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from .ops.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def sql_dedup_jaccard():
+    return _PRELUDE + """,
+dt AS (SELECT DISTINCT doc_id AS did, tok FROM toks),
+sz AS (SELECT did, count(*)::BIGINT AS sz FROM dt GROUP BY 1),
+inter AS (
+  SELECT a.did AS id_a, b.did AS id_b, count(*)::BIGINT AS i
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.did < b.did
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.did = id_a
+JOIN sz sb ON sb.did = id_b
+WHERE ROUND(i / (sa.sz + sb.sz - i)::DOUBLE, 6) >= 0.8
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from .ops.dedup import minhash_band_pairs
+    return minhash_band_pairs(_docs(spark, sf_dir), num_perm=8, band_size=2)
+
+
+def sql_minhash_pairs():
+    from .ops.dedup import _H_MOD, _PERM_A, _PERM_B, _PERM_MOD
+    perm_rows = ", ".join(f"({i}, {_PERM_A[i]}, {_PERM_B[i]})"
+                          for i in range(8))
+    return _PRELUDE + f""",
+dt AS (SELECT DISTINCT doc_id AS did, tok FROM toks),
+th AS (SELECT did, tok,
+        (('0x' || substr(md5(tok), 1, 15))::BIGINT % {_H_MOD}) AS h
+       FROM dt),
+perms(perm, a, b) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT did, perm, MIN((a * h + b) % {_PERM_MOD}) AS sig
+  FROM th CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT did, (perm // 2) AS band,
+         string_agg(sig::VARCHAR, ',' ORDER BY perm) AS key
+  FROM sigs GROUP BY 1, 2
+)
+SELECT DISTINCT a.did AS id_a, b.did AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.did < b.did
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from .ops.dedup import simhash
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def sql_simhash():
+    from .ops.dedup import _H_MOD
+    return _PRELUDE + f""",
+dt AS (SELECT DISTINCT doc_id AS did, tok FROM toks),
+th AS (SELECT did,
+        (('0x' || substr(md5(tok), 1, 15))::BIGINT % {_H_MOD}) AS h
+       FROM dt),
+bitsum AS (
+  SELECT did, g.bit, SUM(((h >> g.bit) & 1) * 2 - 1)::BIGINT AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) g
+  GROUP BY 1, 2
+)
+SELECT did AS doc_id,
+       SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+         AS simhash
+FROM bitsum GROUP BY 1
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    from .ops.similarity import cosine_topk
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).first().embedding
+    return cosine_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+def sql_ann_cosine():
+    return """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT v.vec_id,
+         unnest(v.embedding)::DOUBLE AS a,
+         unnest(q.e)::DOUBLE AS b
+  FROM embeddings v CROSS JOIN q
+  WHERE v.vec_id <> 0
+),
+dots AS (
+  SELECT vec_id, SUM(a * b) AS dot,
+         SQRT(SUM(a * a)) AS na, SQRT(SUM(b * b)) AS nb
+  FROM pairs GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (na * nb), 6) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    from .ops.similarity import ann_topk_lsh
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).first().embedding
+    return ann_topk_lsh(emb.where(F.col("vec_id") != 0), list(qvec), k=10,
+                        nbits=4)
+
+
+def sql_ann_lsh():
+    # bucket = sign bits of dims 1..4, matched against the query's own
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(4))
+    return f"""
+WITH q AS (SELECT embedding AS e,
+                  {" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(4))} AS qb
+           FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT v.vec_id, v.embedding, q.e
+  FROM embeddings v CROSS JOIN q
+  WHERE v.vec_id <> 0 AND ({bucket}) = q.qb
+),
+pairs AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS a, unnest(e)::DOUBLE AS b
+  FROM cand
+),
+dots AS (
+  SELECT vec_id, SUM(a * b) AS dot,
+         SQRT(SUM(a * a)) AS na, SQRT(SUM(b * b)) AS nb
+  FROM pairs GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (na * nb), 6) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from .ops.text_stats import quality_score
+    return quality_score(_docs(spark, sf_dir))
+
+
+def sql_text_quality():
+    sw = "'the','and','of','to','a','in','is','it','for','on'"
+    return _PRELUDE + """,
+agg AS (
+  SELECT t.doc_id,
+         count(*)::BIGINT AS n,
+         count(DISTINCT t.tok)::BIGINT AS nd,
+         count(*) FILTER (t.tok IN (""" + sw + """))::BIGINT AS nsw,
+         count(DISTINCT t.tok)
+           FILTER (t.tok IN (""" + sw + """))::BIGINT AS ndsw
+  FROM toks t GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(agg.n, 0)::INT AS n_tokens,
+       ROUND(length(d.text) / GREATEST(COALESCE(agg.n, 0), 1), 4)
+         AS chars_per_token,
+       ROUND(COALESCE(agg.nd, 0) / GREATEST(COALESCE(agg.n, 0), 1), 4)
+         AS distinct_ratio,
+       ROUND(COALESCE(agg.nsw, 0) / GREATEST(COALESCE(agg.n, 0), 1), 4)
+         AS stopword_ratio,
+       (COALESCE(agg.ndsw, 0) >= 2) AS passes_stopword_filter
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+WHERE d.text IS NOT NULL
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from .ops.text_stats import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def sql_lang_id():
+    from .ops.text_stats import STOPWORDS
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return _PRELUDE + f""",
+hits AS (
+  SELECT d.doc_id,
+         COALESCE(count(*) FILTER (t.tok IN ({inlist('en')})), 0)::INT
+           AS hits_en,
+         COALESCE(count(*) FILTER (t.tok IN ({inlist('es')})), 0)::INT
+           AS hits_es,
+         COALESCE(count(*) FILTER (t.tok IN ({inlist('fr')})), 0)::INT
+           AS hits_fr
+  FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+  GROUP BY 1
+)
+SELECT doc_id, hits_en, hits_es, hits_fr,
+       CASE WHEN GREATEST(hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_en = GREATEST(hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = GREATEST(hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM hits
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from .ops.text_stats import token_count
+    return token_count(_docs(spark, sf_dir))
+
+
+def sql_token_count():
+    return r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))::INT
+         AS n_bpe_tokens
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from .ops.text_stats import doc_fingerprint
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def sql_fingerprint():
+    # positional shingles via list ops (an unnest + window restatement
+    # would have nondeterministic intra-doc order in SQL)
+    return """
+WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+           FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, MIN(md5(sh)) AS fingerprint FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+  FROM l
+) GROUP BY 1
+"""
+
+
+def q_multimodal_stub(spark, sf_dir):
+    """Rows-only check (no SQL oracle — media features come from the
+    stubbed decode over python-rendered html payloads)."""
+    from .ops.multimodal import decode_media, media_from_webtext
+    from .synth.webtext import webtext_table
+    wt = webtext_table(spark, sf_dir)
+    return decode_media(media_from_webtext(wt))
+
+
+QUERIES: Dict[str, Callable] = {
+    "fts_match_or": q_fts_match_or,
+    "fts_match_and": q_fts_match_and,
+    "fts_term_single": q_fts_term_single,
+    "fts_match_boost": q_fts_match_boost,
+    "fts_count": q_fts_count,
+    "fts_prefix": q_fts_prefix,
+    "fts_filtered": q_fts_filtered,
+    "fts_exclude": q_fts_exclude,
+    "fts_constant_score": q_fts_constant_score,
+    "fts_terms_in": q_fts_terms_in,
+    "fts_dis_max": q_fts_dis_max,
+    "fts_term_freqs": q_fts_term_freqs,
+    "fts_doc_len": q_fts_doc_len,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "multimodal_stub": q_multimodal_stub,
+}
+
+ORACLES: Dict[str, str] = {
+    "fts_match_or": sql_fts_match_or(),
+    "fts_match_and": sql_fts_match_and(),
+    "fts_term_single": sql_fts_term_single(),
+    "fts_match_boost": sql_fts_match_boost(),
+    "fts_count": sql_fts_count(),
+    "fts_prefix": sql_fts_prefix(),
+    "fts_filtered": sql_fts_filtered(),
+    "fts_exclude": sql_fts_exclude(),
+    "fts_constant_score": sql_fts_constant_score(),
+    "fts_terms_in": sql_fts_terms_in(),
+    "fts_dis_max": sql_fts_dis_max(),
+    "fts_term_freqs": sql_fts_term_freqs(),
+    "fts_doc_len": sql_fts_doc_len(),
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_jaccard": sql_dedup_jaccard(),
+    "minhash_pairs": sql_minhash_pairs(),
+    "simhash": sql_simhash(),
+    "ann_cosine": sql_ann_cosine(),
+    "ann_lsh": sql_ann_lsh(),
+    "text_quality": sql_text_quality(),
+    "lang_id": sql_lang_id(),
+    "token_count": sql_token_count(),
+    "fingerprint": sql_fingerprint(),
+    # multimodal_stub: intentionally no oracle (stubbed decode)
+}

@@ -45,7 +45,8 @@ from pyspark.sql import types as T
 from ..analysis.analyzers import AnalyzerRegistry, parse_analysis_settings
 from ..index.codec import decode_block
 from ..index.layout import IndexConfig, IndexLayout, term_bucket
-from ..similarity import bm25_f32, lengths_from_bytes, tfidf_f32
+from ..similarity import (bm25_f32, bm25_f64, lengths_from_bytes,
+                          lengths_from_bytes_f64, tfidf_f32, tfidf_f64)
 from . import dsl
 
 _SCORE_SCHEMA = T.StructType([
@@ -61,12 +62,14 @@ Scored = Tuple[str, object]             # ("all", const) | ("none", None)
 
 
 def _decode_score_fn(total_docs: int, total_tokens: int, similarity: str,
-                     boost: float, needs_score: bool):
+                     boost: float, needs_score: bool,
+                     precision: str = "f32"):
     """mapInPandas body: posting blocks → (doc_id, score) rows.
 
     Expects columns (segment, doc_bytes, tf_bytes, len_bytes,
-    df_global).  All math in f32 (similarity.rs); boost multiplies
-    after similarity (rocksdb/search/mod.rs:110-111).
+    df_global).  precision "f32" matches the Rust reference's math
+    (similarity.rs); "f64" matches a double-precision SQL oracle.
+    Boost multiplies after similarity (rocksdb/search/mod.rs:110-111).
     """
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,15 +80,22 @@ def _decode_score_fn(total_docs: int, total_tokens: int, similarity: str,
             for row in pdf.itertuples(index=False):
                 doc_ids, tfs, lens = decode_block(
                     row.segment, row.doc_bytes, row.tf_bytes, row.len_bytes)
-                if needs_score:
+                if not needs_score:
+                    s = np.zeros(len(doc_ids), dtype=np.float64)
+                elif precision == "f64":
+                    if similarity == dsl.TFIDF:
+                        s = tfidf_f64(tfs, total_docs, row.df_global)
+                    else:
+                        s = bm25_f64(tfs, lengths_from_bytes_f64(lens),
+                                     total_tokens, total_docs, row.df_global)
+                    s = s * float(boost)
+                else:
                     if similarity == dsl.TFIDF:
                         s = tfidf_f32(tfs, total_docs, row.df_global)
                     else:
                         s = bm25_f32(tfs, lengths_from_bytes(lens),
                                      total_tokens, total_docs, row.df_global)
                     s = (s * b32).astype(np.float64)
-                else:
-                    s = np.zeros(len(doc_ids), dtype=np.float64)
                 out_ids.append(doc_ids)
                 out_scores.append(s)
             if out_ids:
@@ -100,8 +110,10 @@ def _decode_score_fn(total_docs: int, total_tokens: int, similarity: str,
 class SearchEngine:
     """Read-side handle on one index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 precision: str = "f32"):
         self.spark = spark
+        self.precision = precision
         self.layout = IndexLayout(index_dir)
         self.config: IndexConfig = self.layout.read_config()
         if self.config.analysis_settings:
@@ -175,7 +187,8 @@ class SearchEngine:
         d, t = self.field_stats.get(field, (0, 0))
         cols = ["segment", "doc_bytes", "tf_bytes", "len_bytes", "df_global"]
         return blocks.select(*cols).mapInPandas(
-            _decode_score_fn(d, t, similarity, boost, needs_score),
+            _decode_score_fn(d, t, similarity, boost, needs_score,
+                             self.precision),
             schema=_SCORE_SCHEMA)
 
     def _with_global_df(self, blocks: DataFrame) -> DataFrame:
@@ -189,7 +202,8 @@ class SearchEngine:
                     k: Optional[int] = None,
                     needs_score: bool = True) -> DataFrame:
         blocks = self._term_blocks(field, term)
-        if k is not None and needs_score and scorer.similarity == dsl.BM25:
+        if (k is not None and needs_score and self.precision == "f32"
+                and scorer.similarity == dsl.BM25):
             pruned = self._wand_prune(blocks, field, scorer, k)
             if pruned is not None:
                 return pruned

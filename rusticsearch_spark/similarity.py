@@ -109,6 +109,36 @@ def tfidf_f32(term_frequency, total_docs, docs_with_term):
 
 
 # ---------------------------------------------------------------------------
+# f64 scoring (numpy float64) — used when the engine must agree with a
+# double-precision SQL oracle (DuckDB) instead of the Rust reference.
+# Same formulas, same structure as the SQL strings below.
+# ---------------------------------------------------------------------------
+
+def lengths_from_bytes_f64(len_bytes) -> np.ndarray:
+    lb = np.asarray(len_bytes, dtype=np.float64)
+    sq = lb / 3.0 + 1.0
+    return np.where(lb == 0, 1.0, sq * sq)
+
+
+def bm25_f64(term_frequency, length, total_tokens, total_docs,
+             docs_with_term, k1: float = BM25_K1, b: float = BM25_B):
+    tfw = np.log(np.asarray(term_frequency, dtype=np.float64) + 1.0) + 1.0
+    idf = np.log((float(total_docs) + 1.0)
+                 / (np.asarray(docs_with_term, dtype=np.float64) + 1.0)) + 1.0
+    avg_len = (float(total_tokens) + 1.0) / (float(total_docs) + 1.0)
+    norm = k1 * ((1.0 - b) + b * np.sqrt(np.asarray(length, dtype=np.float64))
+                 / np.sqrt(avg_len))
+    return idf * (k1 + 1.0) * (tfw / (tfw + norm + 1.0))
+
+
+def tfidf_f64(term_frequency, total_docs, docs_with_term):
+    tfw = np.log(np.asarray(term_frequency, dtype=np.float64) + 1.0) + 1.0
+    idf = np.log((float(total_docs) + 1.0)
+                 / (np.asarray(docs_with_term, dtype=np.float64) + 1.0)) + 1.0
+    return tfw * idf
+
+
+# ---------------------------------------------------------------------------
 # f64 scoring as Spark SQL expression strings (shared with the DuckDB
 # oracle — both engines evaluate the identical formula text in double).
 # ---------------------------------------------------------------------------
