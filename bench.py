@@ -1,0 +1,128 @@
+"""Benchmark harness: index-build throughput + BM25 query latency.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "build_sec": ..., "build_docs_per_sec": ..., "n_docs": ...,
+     "query_p50_sec": ..., "query_p95_sec": ...}
+
+The scaling-efficiency evidence (same job at local[8] vs local[32])
+is produced by ``scripts/scaling.py``, which shells out to this file
+with different ``SPARK_GRAFT_CPUS`` and writes ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "3"))
+
+# the reference query set (SURVEY.md §2.3/§2.4 operators)
+BENCH_QUERIES = [
+    ("term", {"term": {"text": "merge"}}),
+    ("match_or", {"match": {"text": "spark query data"}}),
+    ("match_and", {"match": {"text": {"query": "table scan",
+                                      "operator": "and"}}}),
+    ("prefix", {"prefix": {"text": "sc"}}),
+    ("filtered", {"filtered": {"query": {"match": {"text": "hash join"}},
+                               "filter": {"term": {"lang": "en"}}}}),
+    ("dis_max", {"multi_match": {"query": "window merge",
+                                 "fields": ["text^2", "lang"]}}),
+    ("not", {"not": {"term": {"lang": "en"}}}),
+    ("count_all", None),  # _count of match_all
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+    from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.synth.webtext import webtext_table
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName(f"rusticsearch-bench-{CPUS}")
+             .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    wt = webtext_table(spark, SF_DIR, replicate=REPLICATE)
+    # materialize the synthetic input once so build timing measures the
+    # build, not the synthetic html rendering
+    src_path = f"/tmp/rusticsearch_bench_src_{os.path.basename(SF_DIR)}_{REPLICATE}"
+    if not os.path.exists(src_path + "/_SUCCESS"):
+        shutil.rmtree(src_path, ignore_errors=True)
+        wt.write.mode("overwrite").parquet(src_path)
+    docs = spark.read.parquet(src_path)
+    n_docs = docs.count()
+
+    idx_dir = f"/tmp/rusticsearch_bench_idx_{CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(key_col="url", fields={"text": "standard",
+                                             "lang": None},
+                      n_buckets=max(CPUS * 2, 16), tbuckets=8,
+                      shuffle_partitions=max(CPUS, 8))
+    t0 = time.monotonic()
+    build_index(spark, docs, idx_dir, cfg, jobs=1)
+    build_sec = time.monotonic() - t0
+
+    engine = SearchEngine(spark, idx_dir, cache_postings=True)
+    engine.postings.count()          # populate the serving cache
+    latencies: dict = {}
+    all_lat = []
+    for name, q in BENCH_QUERIES:
+        # one untimed warmup (plan compilation, cache) then timed runs
+        if q is None:
+            engine.count()
+        else:
+            engine.search(q, size=10).collect()
+        runs = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.monotonic()
+            if q is None:
+                engine.count()
+            else:
+                engine.search(q, size=10).collect()
+            runs.append(time.monotonic() - t0)
+        runs.sort()
+        latencies[name] = round(runs[len(runs) // 2], 4)  # median
+        all_lat.extend(runs)
+    all_lat.sort()
+    p95 = all_lat[min(len(all_lat) - 1, int(len(all_lat) * 0.95))]
+    p50 = all_lat[len(all_lat) // 2]
+
+    total = build_sec + sum(latencies.values())
+    print(json.dumps({
+        "metric": "index_build_plus_bm25_query_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": latencies,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 3),
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_sec": round(p50, 4),
+        "query_p95_sec": round(p95, 4),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

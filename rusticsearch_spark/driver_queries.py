@@ -55,7 +55,8 @@ def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         build_index(spark, docs, idx_dir,
                     IndexConfig(key_col="src_doc_id", fields=dict(_FIELDS),
                                 n_buckets=8, tbuckets=4), jobs=1)
-    eng = SearchEngine(spark, idx_dir, precision="f64")
+    eng = SearchEngine(spark, idx_dir, precision="f64",
+                       cache_postings=True)
     _engines[key] = eng
     return eng
 

@@ -107,11 +107,61 @@ def _decode_score_fn(total_docs: int, total_tokens: int, similarity: str,
     return _run
 
 
+def _fused_decode_fn(similarity: str, precision: str):
+    """mapInPandas body for the fused multi-term path: per-row stats
+    columns (df_global, boost, total_docs, total_tokens, child) instead
+    of closure constants — one decode job scores every term child."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: List[np.ndarray] = []
+            childs: List[np.ndarray] = []
+            scores: List[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs, lens = decode_block(
+                    row.segment, row.doc_bytes, row.tf_bytes, row.len_bytes)
+                if precision == "f64":
+                    if similarity == dsl.TFIDF:
+                        s = tfidf_f64(tfs, row.total_docs, row.df_global)
+                    else:
+                        s = bm25_f64(tfs, lengths_from_bytes_f64(lens),
+                                     row.total_tokens, row.total_docs,
+                                     row.df_global)
+                    s = s * float(row.boost)
+                else:
+                    if similarity == dsl.TFIDF:
+                        s = tfidf_f32(tfs, row.total_docs, row.df_global)
+                    else:
+                        s = bm25_f32(tfs, lengths_from_bytes(lens),
+                                     row.total_tokens, row.total_docs,
+                                     row.df_global)
+                    s = (s * np.float32(row.boost)).astype(np.float64)
+                ids.append(doc_ids)
+                childs.append(np.full(len(doc_ids), row.child,
+                                      dtype=np.int32))
+                scores.append(s)
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids),
+                    "child": np.concatenate(childs),
+                    "score": np.concatenate(scores),
+                })
+
+    return _run
+
+
+_FUSED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("child", T.IntegerType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+
 class SearchEngine:
     """Read-side handle on one index directory."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 precision: str = "f32"):
+                 precision: str = "f32", cache_postings: bool = False):
         self.spark = spark
         self.precision = precision
         self.layout = IndexLayout(index_dir)
@@ -123,6 +173,10 @@ class SearchEngine:
             self.registry = AnalyzerRegistry()
         self.postings = spark.read.parquet(self.layout.table("postings"))
         self.docs = spark.read.parquet(self.layout.table("docs"))
+        if cache_postings:
+            # serving mode: pin the (compressed, small relative to the
+            # corpus) block table in memory across queries
+            self.postings = self.postings.cache()
         stats = spark.read.parquet(self.layout.table("field_stats")) \
             .groupBy("field").agg(F.sum("total_docs").alias("d"),
                                   F.sum("total_tokens").alias("t")).collect()
@@ -167,10 +221,54 @@ class SearchEngine:
         """_count: scoring elided entirely (planner/mod.rs:43-47)."""
         if query_json is None:
             return self.docs.count()
-        ds = self._docset(self.parse(query_json))
+        q = self.parse(query_json)
+        if isinstance(q, dsl.Term):
+            # metadata-only: Σ df_block, no posting decode at all
+            r = self._term_blocks(q.field, q.term) \
+                .agg(F.sum("df_block")).collect()[0][0]
+            return int(r or 0)
+        ds = self._docset(q)
         if isinstance(ds, str):
             return self.docs.count() if ds == ALL else 0
         return ds.count()
+
+    # ---------------------------------------------------------------
+    # fused multi-term path: ONE decode job for a combinator whose
+    # children are all plain Terms (the common match/multi_match case)
+    # ---------------------------------------------------------------
+    @staticmethod
+    def _fusable(children: Tuple[dsl.Query, ...]) -> bool:
+        return (len(children) > 0
+                and all(isinstance(c, dsl.Term) for c in children)
+                and len({(c.field, c.term) for c in children})
+                == len(children)
+                and len({c.scorer.similarity for c in children}) == 1)
+
+    def _fused_frame(self, children) -> DataFrame:
+        """(doc_id, child, score): all Term children in one decode."""
+        tb = self.config.tbuckets
+        rows = []
+        for i, c in enumerate(children):
+            d, t = self.field_stats.get(c.field, (0, 0))
+            rows.append((term_bucket(c.term, tb), c.field, c.term, i,
+                         float(c.scorer.boost), d, t))
+        spec = self.spark.createDataFrame(
+            rows, "tbucket int, field string, term string, child int, "
+                  "boost double, total_docs long, total_tokens long")
+        blocks = self.postings.where(
+            F.col("tbucket").isin(sorted({r[0] for r in rows}))
+            & F.col("field").isin(sorted({r[1] for r in rows}))
+            & F.col("term").isin(sorted({r[2] for r in rows})))
+        blocks = blocks.join(F.broadcast(spec), ["tbucket", "field", "term"])
+        dfagg = blocks.groupBy("field", "term").agg(
+            F.sum("df_block").cast("long").alias("df_global"))
+        blocks = blocks.join(F.broadcast(dfagg), ["field", "term"])
+        sim = children[0].scorer.similarity
+        return blocks.select(
+            "segment", "doc_bytes", "tf_bytes", "len_bytes", "df_global",
+            "boost", "total_docs", "total_tokens", "child"
+        ).mapInPandas(_fused_decode_fn(sim, self.precision),
+                      schema=_FUSED_SCHEMA)
 
     # ---------------------------------------------------------------
     # term-level scoring
@@ -304,6 +402,12 @@ class SearchEngine:
             f = self._score_prefix(q, needs_score=False)
             return NONE if f is None else f.select("doc_id").distinct()
         if isinstance(q, dsl.Conjunction):
+            if self._fusable(q.queries):
+                fused = self._fused_frame(q.queries)
+                return (fused.groupBy("doc_id")
+                        .agg(F.count("*").alias("c"))
+                        .where(F.col("c") == len(q.queries))
+                        .select("doc_id"))
             acc: DocSet = ALL
             for c in q.queries:
                 acc = self._intersect(acc, self._docset(c))
@@ -311,6 +415,9 @@ class SearchEngine:
                     return NONE
             return acc
         if isinstance(q, (dsl.Disjunction, dsl.DisjunctionMax)):
+            if self._fusable(q.queries):
+                return self._fused_frame(q.queries) \
+                    .select("doc_id").distinct()
             acc = NONE
             for c in q.queries:
                 acc = self._union(acc, self._docset(c))
@@ -418,6 +525,20 @@ class SearchEngine:
         contribute 0.0 (score_function.rs:80-88 +
         rocksdb/search/mod.rs:112-116).
         """
+        if self._fusable(children):
+            fused = self._fused_frame(children)
+            n = len(children)
+            g = fused.groupBy("doc_id")
+            if mode == "and":
+                agg = g.agg(F.count("*").alias("c"),
+                            F.sum("score").alias("s"))
+                return ("df", agg.where(F.col("c") == n).select(
+                    "doc_id", (F.col("s") / F.lit(float(n)))
+                    .alias("score")))
+            if mode == "or":
+                return ("df", g.agg((F.sum("score") / F.lit(float(n)))
+                                    .alias("score")))
+            return ("df", g.agg(F.max("score").alias("score")))
         scored = [self._score(c) for c in children]
         n = len(scored)
         if n == 0:
