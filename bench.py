@@ -54,7 +54,8 @@ def main() -> None:
 
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .appName(f"rusticsearch-bench-{CPUS}")
-             .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+             .config("spark.sql.shuffle.partitions",
+                     os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory",
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -74,10 +75,16 @@ def main() -> None:
 
     idx_dir = f"/tmp/rusticsearch_bench_idx_{CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
+    # logical plan held CONSTANT across parallelism levels (same bucket
+    # count, same shuffle partitioning) so the scaling comparison
+    # isolates executor parallelism, not plan shape
     cfg = IndexConfig(key_col="url", fields={"text": "standard",
                                              "lang": None},
-                      n_buckets=max(CPUS * 2, 16), tbuckets=8,
-                      shuffle_partitions=max(CPUS, 8))
+                      n_buckets=int(os.environ.get(
+                          "SPARK_GRAFT_BUCKETS", "64")),
+                      tbuckets=8,
+                      shuffle_partitions=int(os.environ.get(
+                          "SPARK_GRAFT_SHUFFLE", "64")))
     t0 = time.monotonic()
     build_index(spark, docs, idx_dir, cfg, jobs=1)
     build_sec = time.monotonic() - t0

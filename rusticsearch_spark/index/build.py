@@ -109,15 +109,18 @@ def tokenize_udf(analyzer: Analyzer):
     return _tok
 
 
-def assign_doc_ids(docs: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
+def assign_doc_ids(docs: DataFrame, key_col: str, n_buckets: int,
+                   bucket_base: int = 0) -> DataFrame:
     """Deterministic dense doc ids: one shuffle (window by bucket).
 
     Never ``monotonically_increasing_id`` — ids must be stable across
     retries/resumes.  Each bucket's ordinal space is 2^40; buckets are
     the unit of parallelism, so ``n_buckets`` scales with corpus size
-    (2^16+ at trillion-doc scale).
+    (2^16+ at trillion-doc scale).  ``bucket_base`` offsets the bucket
+    namespace (streaming batches get disjoint namespaces).
     """
-    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    bucket = (F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+              + F.lit(bucket_base))
     w = Window.partitionBy("_bucket").orderBy(key_col)
     return (docs
             .withColumn("_bucket", bucket.cast("long"))
@@ -267,52 +270,66 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     for job in range(jobs):
         if job in done:
             continue
-        layout.clear_incomplete_job(job)
-        t0 = time.monotonic()
         lo, hi = job * buckets_per_job, min((job + 1) * buckets_per_job,
                                             config.n_buckets)
         ids = with_bucket.where(
             (F.col("_bucket") >= lo) & (F.col("_bucket") < hi)).drop("_bucket")
-
-        # docs table first; re-read it so the window/id computation
-        # runs once and downstream stages read a pruned columnar scan.
-        doc_cols = ["doc_id", config.key_col] + [
-            c for c in dict.fromkeys(list(config.fields) + config.stored)
-            if c != config.key_col]
-        ids.select(*doc_cols).write.mode("overwrite").parquet(
-            layout.job_dir("docs", job))
-        ids = spark.read.parquet(layout.job_dir("docs", job))
-        n_docs = ids.count()  # parquet metadata only
-
-        flat = _posting_rows(ids, config, registry) \
-            .withColumn("segment",
-                        F.shiftrightunsigned("doc_id", SEGMENT_BITS))
-        encoded = (flat
-                   .repartition(shuffle_p, "field", "term", "segment")
-                   .sortWithinPartitions("field", "term", "segment", "doc_id")
-                   .mapInPandas(_encode_partitions(config.tbuckets),
-                                schema=POSTINGS_SCHEMA))
-        (encoded
-         .repartitionByRange(max(config.tbuckets, shuffle_p),
-                             "field", "term", "segment")
-         .sortWithinPartitions("tbucket", "field", "term", "segment")
-         .write.mode("overwrite").partitionBy("tbucket")
-         .parquet(layout.job_dir("postings", job)))
-        n_blocks = spark.read.parquet(
-            layout.job_dir("postings", job)).count()
-
-        stats_rows = _field_stats(spark, ids, layout.job_dir("postings", job),
-                                  config)
-        spark.createDataFrame(stats_rows).coalesce(1).write \
-            .mode("overwrite").parquet(layout.job_dir("field_stats", job))
-
-        row = {
-            "job": job, "bucket_lo": lo, "bucket_hi": hi,
-            "n_docs": n_docs, "n_posting_blocks": n_blocks,
-            "wall_sec": round(time.monotonic() - t0, 3),
-            "status": "done", "finished_unix": int(time.time()),
-        }
-        layout.commit_job(spark, row)
+        row = write_job(spark, ids, layout, config, registry, job,
+                        extra={"bucket_lo": lo, "bucket_hi": hi})
         report.append(row)
     return {"index_dir": index_dir, "jobs": report,
             "skipped_jobs": done, "config": config.__dict__}
+
+
+def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
+              config: IndexConfig, registry: AnalyzerRegistry, job: int,
+              extra: Optional[dict] = None) -> dict:
+    """Write one job's docs/postings/field_stats + the atomic lineage
+    commit.  ``ids`` must already carry a globally-unique ``doc_id``.
+    Shared by the batch builder and the streaming ingester."""
+    layout.clear_incomplete_job(job)
+    t0 = time.monotonic()
+    shuffle_p = (config.shuffle_partitions
+                 or int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+    # docs table first; re-read it so the id computation runs once and
+    # downstream stages read a pruned columnar scan.
+    doc_cols = ["doc_id", config.key_col] + [
+        c for c in dict.fromkeys(list(config.fields) + config.stored)
+        if c != config.key_col]
+    ids.select(*doc_cols).write.mode("overwrite").parquet(
+        layout.job_dir("docs", job))
+    ids = spark.read.parquet(layout.job_dir("docs", job))
+    n_docs = ids.count()  # parquet metadata only
+
+    flat = _posting_rows(ids, config, registry) \
+        .withColumn("segment",
+                    F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+    encoded = (flat
+               .repartition(shuffle_p, "field", "term", "segment")
+               .sortWithinPartitions("field", "term", "segment", "doc_id")
+               .mapInPandas(_encode_partitions(config.tbuckets),
+                            schema=POSTINGS_SCHEMA))
+    (encoded
+     .repartitionByRange(max(config.tbuckets, shuffle_p),
+                         "field", "term", "segment")
+     .sortWithinPartitions("tbucket", "field", "term", "segment")
+     .write.mode("overwrite").partitionBy("tbucket")
+     .parquet(layout.job_dir("postings", job)))
+    n_blocks = spark.read.parquet(
+        layout.job_dir("postings", job)).count()
+
+    stats_rows = _field_stats(spark, ids, layout.job_dir("postings", job),
+                              config)
+    spark.createDataFrame(stats_rows).coalesce(1).write \
+        .mode("overwrite").parquet(layout.job_dir("field_stats", job))
+
+    row = {
+        "job": job,
+        "n_docs": n_docs, "n_posting_blocks": n_blocks,
+        "wall_sec": round(time.monotonic() - t0, 3),
+        "status": "done", "finished_unix": int(time.time()),
+        **(extra or {}),
+    }
+    layout.commit_job(spark, row)
+    return row

@@ -123,7 +123,14 @@ class IndexLayout:
         ``lineage/`` reconstitutes it without column duplication.
         """
         job = row["job"]
-        data = {k: v for k, v in row.items() if k != "job"}
+        # fixed schema across batch + streaming jobs (parquet partition
+        # discovery unions job dirs, so columns must agree)
+        defaults = {"bucket_lo": -1, "bucket_hi": -1, "batch_id": -1,
+                    "n_docs": 0, "n_posting_blocks": 0, "wall_sec": 0.0,
+                    "status": "done", "finished_unix": 0,
+                    "merged_from": ""}
+        data = {**defaults, **{k: v for k, v in row.items() if k != "job"}}
+        data = {k: data[k] for k in sorted(defaults)}
         df = spark.createDataFrame([data])
         df.coalesce(1).write.mode("overwrite").parquet(
             self.job_dir("lineage", job))

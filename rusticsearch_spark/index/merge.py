@@ -1,0 +1,139 @@
+"""Job/segment compaction — the reference's segment merge
+(/root/reference/src/search/backends/rocksdb/segment_ops.rs:36-289)
+re-expressed as one shuffle.
+
+Incremental ingest leaves one job directory per batch (the analogue of
+the reference's many small segments); ``merge_jobs`` rewrites N job
+directories into one, preserving the logical index exactly — doc_ids
+are never remapped (they are already globally unique and dense per
+bucket), so unlike the reference's merge (which repacks u16 local id
+spaces, segment_ops.rs:240-268) ours is a pure re-grouping:
+
+    decode blocks → rows → shuffle on (field, term, segment) → re-encode
+
+Two-phase like the reference (segment_ops.rs:216-235): all data tables
+are written into the target first, the lineage commit row last.
+
+``maintenance`` is the merge-policy loop (src/index/maintenance.rs:7-82
+analogue): compact when the job count exceeds a threshold.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .build import POSTINGS_SCHEMA, _encode_partitions, _field_stats
+from .codec import decode_block
+from .layout import IndexConfig, IndexLayout
+
+_ROWS_SCHEMA = ("field string, term string, segment long, doc_id long, "
+                "tf int, len_byte int")
+
+
+def _decode_to_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        fields: List[np.ndarray] = []
+        terms: List[np.ndarray] = []
+        segs: List[np.ndarray] = []
+        ids: List[np.ndarray] = []
+        tfs: List[np.ndarray] = []
+        lens: List[np.ndarray] = []
+        for row in pdf.itertuples(index=False):
+            doc_ids, tf, lb = decode_block(
+                row.segment, row.doc_bytes, row.tf_bytes, row.len_bytes)
+            n = len(doc_ids)
+            fields.append(np.full(n, row.field, dtype=object))
+            terms.append(np.full(n, row.term, dtype=object))
+            segs.append(np.full(n, row.segment, dtype=np.int64))
+            ids.append(doc_ids)
+            tfs.append(tf)
+            lens.append(lb)
+        if ids:
+            yield pd.DataFrame({
+                "field": np.concatenate(fields),
+                "term": np.concatenate(terms),
+                "segment": np.concatenate(segs),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs).astype(np.int32),
+                "len_byte": np.concatenate(lens).astype(np.int32),
+            })
+
+
+def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
+               jobs: Optional[List[int]] = None) -> dict:
+    """Compact ``jobs`` (default: all committed) of ``index_dir`` into
+    single-job ``out_dir``.  Logical index content is preserved."""
+    layout = IndexLayout(index_dir)
+    config = layout.read_config()
+    all_jobs = layout.completed_jobs(spark)
+    jobs = sorted(jobs) if jobs is not None else all_jobs
+    # empty-batch jobs commit lineage only — nothing to merge
+    jobs = [j for j in jobs if os.path.isdir(layout.job_dir("docs", j))]
+    out = IndexLayout(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out.write_config(config)
+    t0 = time.monotonic()
+    shuffle_p = (config.shuffle_partitions
+                 or int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+    docs = spark.read.option("basePath", layout.table("docs")).parquet(
+        *[layout.job_dir("docs", j) for j in jobs]).drop("job")
+    docs.write.mode("overwrite").parquet(out.job_dir("docs", 0))
+    n_docs = spark.read.parquet(out.job_dir("docs", 0)).count()
+
+    blocks = spark.read.option("basePath", layout.table("postings")) \
+        .parquet(*[layout.job_dir("postings", j) for j in jobs])
+    rows = blocks.select("field", "term", "segment", "doc_bytes",
+                         "tf_bytes", "len_bytes") \
+        .mapInPandas(_decode_to_rows, schema=_ROWS_SCHEMA)
+    merged = (rows
+              .repartition(shuffle_p, "field", "term", "segment")
+              .sortWithinPartitions("field", "term", "segment", "doc_id")
+              .mapInPandas(_encode_partitions(config.tbuckets),
+                           schema=POSTINGS_SCHEMA))
+    (merged
+     .repartitionByRange(max(config.tbuckets, shuffle_p),
+                         "field", "term", "segment")
+     .sortWithinPartitions("tbucket", "field", "term", "segment")
+     .write.mode("overwrite").partitionBy("tbucket")
+     .parquet(out.job_dir("postings", 0)))
+    n_blocks = spark.read.parquet(out.job_dir("postings", 0)).count()
+
+    ids = spark.read.parquet(out.job_dir("docs", 0))
+    stats = _field_stats(spark, ids, out.job_dir("postings", 0), config)
+    spark.createDataFrame(stats).coalesce(1).write.mode("overwrite") \
+        .parquet(out.job_dir("field_stats", 0))
+
+    row = {"job": 0, "n_docs": n_docs, "n_posting_blocks": n_blocks,
+           "wall_sec": round(time.monotonic() - t0, 3), "status": "done",
+           "finished_unix": int(time.time()),
+           "merged_from": ",".join(str(j) for j in jobs)}
+    out.commit_job(spark, row)
+    return row
+
+
+def maintenance(spark: SparkSession, index_dir: str,
+                max_jobs: int = 8) -> Optional[str]:
+    """Merge-policy loop body: when the index has accumulated more
+    than ``max_jobs`` job directories (streaming batches), compact
+    them into a new generation directory and atomically swap via
+    rename.  Returns the retired generation path, or None if below
+    threshold."""
+    layout = IndexLayout(index_dir)
+    jobs = layout.completed_jobs(spark)
+    if len(jobs) <= max_jobs:
+        return None
+    gen_tmp = index_dir.rstrip("/") + ".compact_tmp"
+    retired = index_dir.rstrip("/") + f".gen{int(time.time())}"
+    merge_jobs(spark, index_dir, gen_tmp)
+    os.rename(index_dir, retired)
+    os.rename(gen_tmp, index_dir)
+    return retired

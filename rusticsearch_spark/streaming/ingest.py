@@ -1,0 +1,92 @@
+"""Structured-Streaming incremental index ingest.
+
+The reference ingests documents one at a time into single-doc
+segments that a background thread merges
+(/root/reference/src/search/backends/rocksdb/mod.rs:212-226 +
+src/main.rs:64-84); our analogue is micro-batch ingest: each
+``foreachBatch`` invocation builds one *job* (a full mini-index:
+postings, stats, docs) appended to the index directory, and
+``index.merge.maintenance`` plays the merge-policy thread.
+
+Exactly-once: the job id is a pure function of the batch id and the
+lineage commit is the last write, so a replayed batch (streaming
+checkpoint recovery) sees its lineage row and skips — idempotent
+append, the same crash-safety contract as the batch builder.
+
+Doc ids stay globally unique across batch + streaming jobs because
+each batch gets a disjoint bucket namespace
+(``STREAM_BUCKET_BASE + batch_id * n_buckets``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import _registry, assign_doc_ids, write_job
+from ..index.layout import IndexConfig, IndexLayout
+
+STREAM_JOB_BASE = 100_000
+STREAM_BUCKET_BASE = 1_000_000
+
+
+class StreamingIngester:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 config: Optional[IndexConfig] = None,
+                 n_buckets_per_batch: int = 8,
+                 dedup_keys: bool = True):
+        self.spark = spark
+        self.layout = IndexLayout(index_dir)
+        try:
+            self.config = self.layout.read_config()
+        except FileNotFoundError:
+            self.config = config or IndexConfig()
+            self.layout.write_config(self.config)
+        self.registry = _registry(self.config)
+        self.n_buckets_per_batch = n_buckets_per_batch
+        self.dedup_keys = dedup_keys
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        job = STREAM_JOB_BASE + int(batch_id)
+        if job in self.layout.completed_jobs(self.spark):
+            return  # replayed batch: lineage says done → idempotent skip
+        key = self.config.key_col
+        batch_df = batch_df.dropDuplicates([key])
+        if self.dedup_keys:
+            # first-writer-wins insert semantics: skip keys already in
+            # the index (the reference *updates* via delete-marking,
+            # document_index.rs:71-91; we are append-only)
+            done = self.layout.completed_jobs(self.spark)
+            if done:
+                existing = self.spark.read.parquet(
+                    self.layout.table("docs")).select(key)
+                batch_df = batch_df.join(existing, key, "left_anti")
+        if batch_df.isEmpty():
+            # nothing new: still commit the lineage row so a replay of
+            # this batch id remains a no-op
+            self.layout.commit_job(self.spark, {
+                "job": job, "batch_id": int(batch_id), "n_docs": 0,
+                "status": "done"})
+            return
+        base = STREAM_BUCKET_BASE + int(batch_id) * self.n_buckets_per_batch
+        ids = assign_doc_ids(batch_df, key, self.n_buckets_per_batch,
+                             bucket_base=base).drop("_bucket")
+        write_job(self.spark, ids, self.layout, self.config, self.registry,
+                  job, extra={"batch_id": int(batch_id)})
+
+
+def ingest_stream(spark: SparkSession, stream_df: DataFrame,
+                  index_dir: str, checkpoint_dir: str,
+                  config: Optional[IndexConfig] = None,
+                  n_buckets_per_batch: int = 8,
+                  dedup_keys: bool = True):
+    """Attach the ingester to a streaming DataFrame.  Returns the
+    StreamingQuery (caller awaits/stops it)."""
+    ingester = StreamingIngester(spark, index_dir, config,
+                                 n_buckets_per_batch, dedup_keys)
+    return (stream_df.writeStream
+            .foreachBatch(ingester.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

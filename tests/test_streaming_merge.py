@@ -1,0 +1,111 @@
+"""Incremental (streaming) ingest + job/segment compaction.
+
+Property under test: a corpus ingested as N micro-batches, then
+optionally compacted, returns the SAME search results (by document
+key + score) as the one-shot batch build — the merge-equivalence the
+reference asserts in its end-to-end test
+(/root/reference/src/search/backends/rocksdb/mod.rs:420-582)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusticsearch_spark.index.layout import IndexConfig, IndexLayout
+from rusticsearch_spark.index.merge import maintenance, merge_jobs
+from rusticsearch_spark.query.engine import SearchEngine
+from rusticsearch_spark.streaming.ingest import (StreamingIngester,
+                                                 ingest_stream)
+
+CFG = dict(key_col="url", fields={"text": "standard", "lang": None},
+           n_buckets=4, tbuckets=2, shuffle_partitions=4)
+
+QUERY = {"match": {"text": "spark query"}}
+
+
+def _results_by_url(spark, index_dir, size=1000):
+    eng = SearchEngine(spark, index_dir)
+    top = eng.search(QUERY, size=size)
+    joined = top.join(eng.docs.select("doc_id", "url"), "doc_id")
+    return {(r.url, round(r.score, 5)) for r in joined.collect()}
+
+
+@pytest.fixture(scope="module")
+def stream_index(spark, webtext, tmp_path_factory):
+    """Ingest the corpus as 3 file-stream micro-batches."""
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "src")
+    os.makedirs(src)
+    parts = webtext.select("url", "text", "lang").randomSplit(
+        [1.0, 1.0, 1.0], seed=7)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{src}/chunk{i}")
+    # one flat dir of parquet files, fed one file per trigger
+    flat = str(root / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/chunk*/part-*.parquet"))):
+        os.link(f, f"{flat}/{i}.parquet")
+    schema = webtext.select("url", "text", "lang").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    index_dir = str(root / "idx")
+    q = ingest_stream(spark, stream, index_dir,
+                      checkpoint_dir=str(root / "ckpt"),
+                      config=IndexConfig(**CFG))
+    q.processAllAvailable()
+    q.stop()
+    return index_dir
+
+
+def test_stream_creates_one_job_per_batch(spark, stream_index):
+    jobs = IndexLayout(stream_index).completed_jobs(spark)
+    assert len(jobs) == 3
+    assert all(j >= 100_000 for j in jobs)
+
+
+def test_stream_results_equal_batch_build(spark, stream_index, index_dir):
+    assert _results_by_url(spark, stream_index) == \
+        _results_by_url(spark, index_dir)
+
+
+def test_stream_doc_count(spark, stream_index, webtext):
+    eng = SearchEngine(spark, stream_index)
+    assert eng.count() == webtext.count()
+
+
+def test_replayed_batch_is_idempotent(spark, stream_index, webtext):
+    ing = StreamingIngester(spark, stream_index)
+    before = SearchEngine(spark, stream_index).count()
+    # re-deliver batch 0 (simulates checkpoint recovery replay)
+    ing.process_batch(webtext.select("url", "text", "lang").limit(50), 0)
+    assert SearchEngine(spark, stream_index).count() == before
+
+
+def test_dedup_keys_skips_existing(spark, stream_index, webtext):
+    ing = StreamingIngester(spark, stream_index)
+    before = SearchEngine(spark, stream_index).count()
+    # new batch made entirely of already-indexed urls → nothing added
+    ing.process_batch(webtext.select("url", "text", "lang").limit(80), 99)
+    assert SearchEngine(spark, stream_index).count() == before
+
+
+def test_merge_jobs_preserves_results(spark, stream_index, tmp_path):
+    out = str(tmp_path / "merged")
+    row = merge_jobs(spark, stream_index, out)
+    assert row["status"] == "done"
+    assert IndexLayout(out).completed_jobs(spark) == [0]
+    assert _results_by_url(spark, out) == _results_by_url(spark,
+                                                          stream_index)
+
+
+def test_maintenance_compacts_and_swaps(spark, stream_index, tmp_path):
+    import shutil
+    work = str(tmp_path / "work_idx")
+    shutil.copytree(stream_index, work)
+    before = _results_by_url(spark, work)
+    assert maintenance(spark, work, max_jobs=8) is None   # below threshold
+    retired = maintenance(spark, work, max_jobs=2)        # 3 jobs > 2
+    assert retired is not None
+    assert IndexLayout(work).completed_jobs(spark) == [0]
+    assert _results_by_url(spark, work) == before
