@@ -56,6 +56,16 @@ def main() -> None:
              .appName(f"rusticsearch-bench-{CPUS}")
              .config("spark.sql.shuffle.partitions",
                      os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
+             # bench-scale corpora are small; split reads finer than the
+             # 128MB default so all cores engage (a no-op at real scale)
+             .config("spark.sql.files.maxPartitionBytes",
+                     os.environ.get("SPARK_GRAFT_MAX_PART", "8m"))
+             .config("spark.sql.files.openCostInBytes", "1m")
+             # Spark 4.1's per-row Arrow batch-size estimation
+             # (ArrowWriter.sizeInBytes walk) is quadratic in batch
+             # rows and memory-bound — smaller batches sidestep it
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                     "2048")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory",
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -69,7 +79,10 @@ def main() -> None:
     src_path = f"/tmp/rusticsearch_bench_src_{os.path.basename(SF_DIR)}_{REPLICATE}"
     if not os.path.exists(src_path + "/_SUCCESS"):
         shutil.rmtree(src_path, ignore_errors=True)
-        wt.write.mode("overwrite").parquet(src_path)
+        # repartition before writing: the replicate crossJoin otherwise
+        # yields ONE output file / one giant row group, which collapses
+        # every downstream scan (and its Python workers) to 1 task
+        wt.repartition(64).write.mode("overwrite").parquet(src_path)
     docs = spark.read.parquet(src_path)
     n_docs = docs.count()
 

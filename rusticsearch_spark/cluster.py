@@ -1,0 +1,151 @@
+"""Cluster metadata: index registry + name/alias registry.
+
+Ports /root/reference/src/cluster/metadata/mod.rs:23-27 and
+name_registry.rs:18-150: names resolve to either a concrete index or
+an alias covering ≥1 indices; an index name cannot collide with an
+alias name.  The ``Cluster`` facade is the Python equivalent of the
+REST surface (src/api/mod.rs:37-55): create/delete index, put
+mapping, bulk ingest, search/count against a name or alias
+(multi-index search unions results and re-sorts — alias semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Dict, List, Optional, Set
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.build import build_index
+from .index.layout import IndexConfig
+from .mapping import FieldMapping, mapping_to_config, parse_mapping, prepare_docs
+from .query.engine import SearchEngine
+
+
+class NameRegistryError(ValueError):
+    pass
+
+
+class NameRegistry:
+    """Index-name ↔ alias bookkeeping (name_registry.rs:18-150)."""
+
+    def __init__(self) -> None:
+        self.indices: Set[str] = set()
+        self.aliases: Dict[str, Set[str]] = {}
+
+    def insert_index(self, name: str) -> None:
+        if name in self.indices or name in self.aliases:
+            raise NameRegistryError(f"name in use: {name!r}")
+        self.indices.add(name)
+
+    def delete_index(self, name: str) -> None:
+        self.indices.discard(name)
+        for refs in self.aliases.values():
+            refs.discard(name)
+        self.aliases = {a: r for a, r in self.aliases.items() if r}
+
+    def put_alias(self, alias: str, index: str) -> None:
+        if alias in self.indices:
+            raise NameRegistryError(f"alias collides with index: {alias!r}")
+        if index not in self.indices:
+            raise NameRegistryError(f"unknown index: {index!r}")
+        self.aliases.setdefault(alias, set()).add(index)
+
+    def delete_alias(self, alias: str, index: Optional[str] = None) -> None:
+        if alias not in self.aliases:
+            raise NameRegistryError(f"unknown alias: {alias!r}")
+        if index is None:
+            del self.aliases[alias]
+        else:
+            self.aliases[alias].discard(index)
+            if not self.aliases[alias]:
+                del self.aliases[alias]
+
+    def resolve(self, name: str) -> List[str]:
+        if name in self.indices:
+            return [name]
+        if name in self.aliases:
+            return sorted(self.aliases[name])
+        raise NameRegistryError(f"unknown index or alias: {name!r}")
+
+
+class Cluster:
+    """Python facade over multiple on-disk indices."""
+
+    def __init__(self, spark: SparkSession, root_dir: str):
+        self.spark = spark
+        self.root = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        self.registry = NameRegistry()
+        self._mappings: Dict[str, List[FieldMapping]] = {}
+        self._engines: Dict[str, SearchEngine] = {}
+
+    def _dir(self, index: str) -> str:
+        return os.path.join(self.root, index)
+
+    # -- index lifecycle (index_api.rs analogue) ----------------------
+    def create_index(self, name: str, mapping_json: dict,
+                     key_col: str, **config_kwargs) -> None:
+        self.registry.insert_index(name)
+        self._mappings[name] = parse_mapping(mapping_json)
+
+    def delete_index(self, name: str) -> None:
+        self.registry.delete_index(name)
+        self._mappings.pop(name, None)
+        self._engines.pop(name, None)
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    def put_mapping(self, name: str, mapping_json: dict) -> None:
+        if name not in self.registry.indices:
+            raise NameRegistryError(f"unknown index: {name!r}")
+        self._mappings[name] = parse_mapping(mapping_json)
+        self._engines.pop(name, None)
+
+    # -- ingest (bulk_api.rs analogue, batch-native) ------------------
+    def bulk(self, name: str, docs: DataFrame, key_col: str,
+             jobs: int = 1, resume: bool = False, **config_kwargs) -> dict:
+        if name not in self.registry.indices:
+            raise NameRegistryError(f"unknown index: {name!r}")
+        fields = self._mappings[name]
+        cfg = mapping_to_config(fields, key_col=key_col, **config_kwargs)
+        prepared = prepare_docs(docs, fields)
+        report = build_index(self.spark, prepared, self._dir(name), cfg,
+                             jobs=jobs, resume=resume)
+        self._engines.pop(name, None)
+        return report
+
+    # -- aliases (alias_api.rs analogue) -------------------------------
+    def put_alias(self, alias: str, index: str) -> None:
+        self.registry.put_alias(alias, index)
+
+    def delete_alias(self, alias: str, index: Optional[str] = None) -> None:
+        self.registry.delete_alias(alias, index)
+
+    # -- read path -----------------------------------------------------
+    def engine(self, index: str) -> SearchEngine:
+        if index not in self._engines:
+            self._engines[index] = SearchEngine(self.spark, self._dir(index))
+        return self._engines[index]
+
+    def search(self, name: str, query_json: dict, size: int = 10,
+               from_: int = 0) -> List[dict]:
+        """Hits across the name/alias target; multi-index results are
+        merged by score (alias search semantics)."""
+        hits: List[dict] = []
+        for index in self.registry.resolve(name):
+            for h in self.engine(index).hits(query_json, size=size + from_):
+                hits.append({**h, "_index": index})
+        hits.sort(key=lambda h: (-h["score"], h["key"]))
+        return hits[from_:from_ + size]
+
+    def count(self, name: str, query_json: Optional[dict] = None) -> int:
+        return sum(self.engine(i).count(query_json)
+                   for i in self.registry.resolve(name))
+
+    def refresh(self, name: str) -> None:
+        """POST /:index/_refresh — drop cached engines so new jobs are
+        visible (the reference acks it as a no-op, index_api.rs:155-161)."""
+        for index in self.registry.resolve(name):
+            self._engines.pop(index, None)

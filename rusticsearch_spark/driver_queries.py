@@ -611,6 +611,75 @@ SELECT doc_id, MIN(md5(sh)) AS fingerprint FROM (
 """
 
 
+def q_events_window(spark, sf_dir):
+    """Tumbling-window event rollup (the batch shape of the streaming
+    ingest's per-batch stats; Structured Streaming runs the same plan
+    with a watermark)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def sql_events_window():
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    per-user session count + mean session length."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap | F.lag("ts").over(w).isNull(), 1)
+                          .otherwise(0))
+            .withColumn("sess_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "sess_id")
+            .agg(F.count("*").alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.round(F.avg("n_events"), 4).alias("avg_events")))
+
+
+def sql_events_sessionize():
+    return """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL
+                   OR date_diff('second', prev, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+per AS (
+  SELECT user_id, sess_id, count(*)::BIGINT AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       ROUND(AVG(n_events), 4) AS avg_events
+FROM per GROUP BY 1
+"""
+
+
 def q_multimodal_stub(spark, sf_dir):
     """Rows-only check (no SQL oracle — media features come from the
     stubbed decode over python-rendered html payloads)."""
@@ -644,6 +713,8 @@ QUERIES: Dict[str, Callable] = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "events_window": q_events_window,
+    "events_sessionize": q_events_sessionize,
     "multimodal_stub": q_multimodal_stub,
 }
 
@@ -671,5 +742,7 @@ ORACLES: Dict[str, str] = {
     "lang_id": sql_lang_id(),
     "token_count": sql_token_count(),
     "fingerprint": sql_fingerprint(),
+    "events_window": sql_events_window(),
+    "events_sessionize": sql_events_sessionize(),
     # multimodal_stub: intentionally no oracle (stubbed decode)
 }

@@ -38,8 +38,9 @@ skips committed jobs (the anti-join is on the lineage table).
 
 from __future__ import annotations
 
+import os
+import sys
 import time
-from collections import Counter
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -49,18 +50,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..analysis.analyzers import Analyzer, AnalyzerRegistry, parse_analysis_settings
-from ..similarity import length_byte
 from .codec import BUCKET_SHIFT, SEGMENT_BITS, encode_block
 from .layout import IndexConfig, IndexLayout, term_bucket
-
-_TOKENIZED_SCHEMA = T.StructType([
-    T.StructField("terms", T.ArrayType(T.StructType([
-        T.StructField("term", T.StringType()),
-        T.StructField("tf", T.IntegerType()),
-    ]))),
-    T.StructField("n_tokens", T.IntegerType()),
-    T.StructField("len_byte", T.IntegerType()),
-])
 
 POSTINGS_SCHEMA = T.StructType([
     T.StructField("field", T.StringType()),
@@ -84,27 +75,20 @@ def _registry(config: IndexConfig) -> AnalyzerRegistry:
 
 
 def tokenize_udf(analyzer: Analyzer):
-    """text → (distinct (term, tf) pairs, token count, quantized length).
+    """text → array<string> of analyzed terms (duplicates preserved).
 
-    tf is counted *here*, per document, so the explode that follows
-    emits one row per distinct (doc, term) — the map-side combine that
-    keeps token occurrences out of the shuffle.  Length quantization
-    is the reference's f32 ``(sqrt(n)-1)*3 as u8``
-    (segment_builder.rs:97-103) via :func:`similarity.length_byte`.
+    The ONLY Python in the indexing hot path.  Term frequencies are
+    NOT counted here — raw occurrences ride the one build shuffle and
+    numpy counts them group-at-a-time inside the encoder, which keeps
+    this UDF a pure regex+map loop (the Analyzer string-level fast
+    path) and the Arrow transfer a flat list<string> (nested
+    struct-array serialization measured ~3× slower).
     """
     analyze_terms = analyzer.terms
 
-    def _one(text):
-        if text is None:
-            return ([], 0, 0)
-        terms = analyze_terms(text)
-        counts = Counter(terms)
-        return (sorted(counts.items()), len(terms), length_byte(len(terms)))
-
-    @F.pandas_udf(_TOKENIZED_SCHEMA)
-    def _tok(texts: pd.Series) -> pd.DataFrame:
-        rows = [_one(t) for t in texts]
-        return pd.DataFrame(rows, columns=["terms", "n_tokens", "len_byte"])
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        return pd.Series([analyze_terms(t) for t in texts])
 
     return _tok
 
@@ -130,17 +114,25 @@ def assign_doc_ids(docs: DataFrame, key_col: str, n_buckets: int,
             .drop("_ord"))
 
 
-def _encode_partitions(tbuckets: int):
+def _encode_partitions(tbuckets: int, pre_counted: bool = False):
     """mapInPandas body: encode sorted (field, term, segment, doc_id)
     runs into posting blocks, carrying group tails across Arrow
-    batches (a group ≤ 65,536 rows may straddle batch boundaries)."""
+    batches (a group may straddle batch boundaries).
+
+    ``pre_counted=False`` (build): rows are raw token occurrences —
+    duplicate doc_ids within a group ARE the term frequency, counted
+    here with one ``np.unique`` per group (group-at-a-time map-side
+    combine; raw occurrences never re-shuffle).
+    ``pre_counted=True`` (merge): rows carry an explicit ``tf``.
+    """
 
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         f = pdf["field"].to_numpy(dtype=object)
         t = pdf["term"].to_numpy(dtype=object)
         s = pdf["segment"].to_numpy(dtype=np.int64)
         doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        tf_col = (pdf["tf"].to_numpy(dtype=np.int64)
+                  if pre_counted else None)
         lb = pdf["len_byte"].to_numpy(dtype=np.int64)
         n = len(pdf)
         change = np.empty(n, dtype=bool)
@@ -150,11 +142,17 @@ def _encode_partitions(tbuckets: int):
         ends = np.append(starts[1:], n)
         rows = []
         for st, en in zip(starts, ends):
-            doc_b, tf_b, len_b = encode_block(doc[st:en], tf[st:en], lb[st:en])
+            if pre_counted:
+                udoc, tf, ulb = doc[st:en], tf_col[st:en], lb[st:en]
+            else:
+                udoc, idx, tf = np.unique(doc[st:en], return_index=True,
+                                          return_counts=True)
+                ulb = lb[st:en][idx]
+            doc_b, tf_b, len_b = encode_block(udoc, tf, ulb)
             rows.append((
                 f[st], t[st], int(s[st]), term_bucket(t[st], tbuckets),
-                int(en - st), int(tf[st:en].sum()), int(tf[st:en].max()),
-                int(lb[st:en].min()), doc_b, tf_b, len_b,
+                len(udoc), int(tf.sum()), int(tf.max()),
+                int(ulb.min()), doc_b, tf_b, len_b,
             ))
         return pd.DataFrame(rows, columns=[x.name for x in POSTINGS_SCHEMA])
 
@@ -184,9 +182,93 @@ def _encode_partitions(tbuckets: int):
     return _run
 
 
+def _encode_partitions_arrow(tbuckets: int):
+    """mapInArrow encoder for the build path: zero pandas, zero
+    per-row Python objects.
+
+    Input partitions arrive sorted by (field, term, segment, doc_id)
+    with a JVM-computed ``gkey = xxhash64(field, term, segment)``;
+    group boundaries are int64 comparisons in numpy (C speed), and the
+    term/field strings are materialized once per GROUP, not per row.
+    Duplicate doc_ids within a group are the term frequency
+    (np.unique).  Collision note: a boundary is missed only if two
+    *adjacent* distinct (field, term, segment) keys share an xxhash64
+    — ~2^-64 per boundary, negligible at any corpus size.
+    """
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("field", pa.string()), ("term", pa.string()),
+        ("segment", pa.int64()), ("tbucket", pa.int32()),
+        ("df_block", pa.int32()), ("sum_tf", pa.int64()),
+        ("max_tf", pa.int32()), ("min_len", pa.int32()),
+        ("doc_bytes", pa.binary()), ("tf_bytes", pa.binary()),
+        ("len_bytes", pa.binary()),
+    ])
+
+    def _encode_table(tbl: "pa.Table"):
+        gk = tbl.column("gkey").to_numpy()
+        doc = tbl.column("doc_id").to_numpy()
+        lb = tbl.column("len_byte").to_numpy()
+        terms = tbl.column("term")
+        fields = tbl.column("field")
+        segs = tbl.column("segment").to_numpy()
+        n = len(gk)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(gk[1:], gk[:-1], out=change[1:])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        cols = {k: [] for k in out_schema.names}
+        for st, en in zip(starts, ends):
+            udoc, idx, tf = np.unique(doc[st:en], return_index=True,
+                                      return_counts=True)
+            ulb = lb[st:en][idx]
+            doc_b, tf_b, len_b = encode_block(udoc, tf, ulb)
+            term = terms[st].as_py()
+            cols["field"].append(fields[st].as_py())
+            cols["term"].append(term)
+            cols["segment"].append(int(segs[st]))
+            cols["tbucket"].append(term_bucket(term, tbuckets))
+            cols["df_block"].append(len(udoc))
+            cols["sum_tf"].append(int(tf.sum()))
+            cols["max_tf"].append(int(tf.max()))
+            cols["min_len"].append(int(ulb.min()))
+            cols["doc_bytes"].append(doc_b)
+            cols["tf_bytes"].append(tf_b)
+            cols["len_bytes"].append(len_b)
+        yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+
+    def _run(batches):
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            if not tbl.num_rows:
+                continue
+            gk = tbl.column("gkey").to_numpy()
+            nz = np.nonzero(gk != gk[-1])[0]
+            cut = int(nz[-1]) + 1 if nz.size else 0
+            carry = tbl.slice(cut)
+            head = tbl.slice(0, cut)
+            if head.num_rows:
+                yield from _encode_table(head.combine_chunks())
+        if carry is not None and carry.num_rows:
+            yield from _encode_table(carry.combine_chunks())
+
+    return _run
+
+
 def _posting_rows(ids: DataFrame, config: IndexConfig,
                   registry: AnalyzerRegistry) -> DataFrame:
-    """(field, term, doc_id, tf, len_byte) for every field, unioned."""
+    """Raw (field, term, doc_id, len_byte) occurrence rows, unioned
+    over fields.  Length quantization runs as a native SQL expression
+    (agrees exactly with the f32 reference quantization over the whole
+    realistic range — validated in tests); the explode and everything
+    after it is JVM-side whole-stage codegen.
+    """
+    from ..similarity import length_byte_sql
     parts: List[DataFrame] = []
     for fname, analyzer_name in config.fields.items():
         if analyzer_name is None:
@@ -198,23 +280,19 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
                     F.lit(fname).alias("field"),
                     F.col(fname).cast("string").alias("term"),
                     F.col("doc_id"),
-                    F.lit(1).alias("tf"),
                     F.lit(0).alias("len_byte"),
                 ))
         else:
             tok = tokenize_udf(registry.get(analyzer_name))
             t = ids.where(F.col(fname).isNotNull()).select(
-                F.col("doc_id"), tok(F.col(fname)).alias("a"))
+                F.col("doc_id"), tok(F.col(fname)).alias("terms"))
             parts.append(
-                t.select(
-                    F.col("doc_id"),
-                    F.col("a.len_byte").alias("len_byte"),
-                    F.explode(F.col("a.terms")).alias("tt"),
-                ).select(
+                t.withColumn("len_byte",
+                             F.expr(length_byte_sql("size(terms)")))
+                .select(
                     F.lit(fname).alias("field"),
-                    F.col("tt.term").alias("term"),
+                    F.explode(F.col("terms")).alias("term"),
                     F.col("doc_id"),
-                    F.col("tt.tf").alias("tf"),
                     F.col("len_byte"),
                 ))
     out = parts[0]
@@ -292,6 +370,16 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     shuffle_p = (config.shuffle_partitions
                  or int(spark.conf.get("spark.sql.shuffle.partitions")))
 
+    _trace_on = os.environ.get("SPARK_GRAFT_TIMING")
+    _last = [time.monotonic()]
+
+    def _trace(step: str) -> None:
+        if _trace_on:
+            now = time.monotonic()
+            print(f"[build-trace] job={job} {step}: {now - _last[0]:.1f}s",
+                  file=sys.stderr, flush=True)
+            _last[0] = now
+
     # docs table first; re-read it so the id computation runs once and
     # downstream stages read a pruned columnar scan.
     doc_cols = ["doc_id", config.key_col] + [
@@ -299,30 +387,36 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
         if c != config.key_col]
     ids.select(*doc_cols).write.mode("overwrite").parquet(
         layout.job_dir("docs", job))
+    _trace("docs_write")
     ids = spark.read.parquet(layout.job_dir("docs", job))
     n_docs = ids.count()  # parquet metadata only
+    _trace("docs_count")
 
     flat = _posting_rows(ids, config, registry) \
         .withColumn("segment",
-                    F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+                    F.shiftrightunsigned("doc_id", SEGMENT_BITS)) \
+        .withColumn("gkey", F.xxhash64("field", "term", "segment"))
     encoded = (flat
                .repartition(shuffle_p, "field", "term", "segment")
                .sortWithinPartitions("field", "term", "segment", "doc_id")
-               .mapInPandas(_encode_partitions(config.tbuckets),
-                            schema=POSTINGS_SCHEMA))
+               .mapInArrow(_encode_partitions_arrow(config.tbuckets),
+                           schema=POSTINGS_SCHEMA))
     (encoded
      .repartitionByRange(max(config.tbuckets, shuffle_p),
                          "field", "term", "segment")
      .sortWithinPartitions("tbucket", "field", "term", "segment")
      .write.mode("overwrite").partitionBy("tbucket")
      .parquet(layout.job_dir("postings", job)))
+    _trace("postings_write")
     n_blocks = spark.read.parquet(
         layout.job_dir("postings", job)).count()
+    _trace("postings_count")
 
     stats_rows = _field_stats(spark, ids, layout.job_dir("postings", job),
                               config)
     spark.createDataFrame(stats_rows).coalesce(1).write \
         .mode("overwrite").parquet(layout.job_dir("field_stats", job))
+    _trace("field_stats")
 
     row = {
         "job": job,

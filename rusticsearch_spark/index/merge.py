@@ -97,7 +97,8 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
     merged = (rows
               .repartition(shuffle_p, "field", "term", "segment")
               .sortWithinPartitions("field", "term", "segment", "doc_id")
-              .mapInPandas(_encode_partitions(config.tbuckets),
+              .mapInPandas(_encode_partitions(config.tbuckets,
+                                              pre_counted=True),
                            schema=POSTINGS_SCHEMA))
     (merged
      .repartitionByRange(max(config.tbuckets, shuffle_p),

@@ -1,0 +1,133 @@
+"""ES-style mapping layer.
+
+Ports the semantics of /root/reference/src/mapping/mod.rs:
+
+* properties: ``{field: {type, analyzer/index_analyzer/search_analyzer,
+  boost, store, index, include_in_all}}`` (FieldMapping,
+  mod.rs:41-118);
+* mapping-level types String/Integer/Boolean/Date (mod.rs:34-39)
+  translated to index-level Text/PlainString/I64/Boolean/DateTime
+  (api/mapping_api.rs:62-67): ``type: string`` with ``index:
+  not_analyzed`` → PlainString (raw term), else Text with the
+  configured analyzer;
+* the ``_all`` field: every ``include_in_all`` string field's value
+  concatenated with a single space and indexed with the default
+  analyzer (src/document.rs:46-52,100-118) — built here as a
+  ``concat_ws(" ", ...)`` column so it rides the normal build path;
+* analyzer resolution precedence: field-level > index default
+  (mapping/build.rs tests).
+
+The output is an :class:`index.layout.IndexConfig` plus a DataFrame
+transformer that synthesizes derived columns (``_all``, stringified
+numerics/booleans/dates) before ``build_index``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .index.layout import IndexConfig
+
+MAPPING_TYPES = {"string", "integer", "boolean", "date"}
+
+
+@dataclass
+class FieldMapping:
+    name: str
+    type: str = "string"                  # mapping-level type
+    analyzer: Optional[str] = "standard"  # None ⇒ not_analyzed
+    boost: float = 1.0
+    store: bool = False
+    include_in_all: bool = True
+
+    @property
+    def is_analyzed(self) -> bool:
+        return self.type == "string" and self.analyzer is not None
+
+
+class MappingParseError(ValueError):
+    pass
+
+
+def parse_mapping(mapping_json: dict,
+                  default_analyzer: str = "standard") -> List[FieldMapping]:
+    """Parse the ``properties`` dict of an ES mapping body."""
+    props = mapping_json.get("properties", mapping_json)
+    if not isinstance(props, dict) or not props:
+        raise MappingParseError("mapping needs non-empty 'properties'")
+    out: List[FieldMapping] = []
+    for name, spec in props.items():
+        spec = spec or {}
+        ftype = spec.get("type", "string")
+        if ftype not in MAPPING_TYPES:
+            raise MappingParseError(f"unknown field type: {ftype!r}")
+        analyzer: Optional[str]
+        if ftype != "string":
+            analyzer = None               # non-string: single exact term
+        elif spec.get("index") == "not_analyzed":
+            analyzer = None
+        elif spec.get("index") == "no":
+            analyzer = None
+        else:
+            # field analyzer > index_analyzer > index default
+            analyzer = (spec.get("analyzer")
+                        or spec.get("index_analyzer")
+                        or default_analyzer)
+        out.append(FieldMapping(
+            name=name, type=ftype, analyzer=analyzer,
+            boost=float(spec.get("boost", 1.0)),
+            store=bool(spec.get("store", False)),
+            # only string fields ever join _all (document.rs:100-118)
+            include_in_all=(ftype == "string"
+                            and bool(spec.get("include_in_all", True))),
+        ))
+    return out
+
+
+def mapping_to_config(fields: List[FieldMapping], key_col: str,
+                      with_all: bool = True,
+                      analysis_settings: Optional[dict] = None,
+                      **kwargs) -> IndexConfig:
+    cfg_fields: Dict[str, Optional[str]] = {}
+    for f in fields:
+        cfg_fields[f.name] = f.analyzer if f.is_analyzed else None
+    if with_all and any(f.include_in_all for f in fields):
+        cfg_fields["_all"] = "standard"
+    stored = [f.name for f in fields if f.store]
+    return IndexConfig(key_col=key_col, fields=cfg_fields, stored=stored,
+                       analysis_settings=analysis_settings, **kwargs)
+
+
+def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
+                 with_all: bool = True) -> DataFrame:
+    """Synthesize mapping-derived columns on the source DataFrame:
+
+    * numerics/booleans/dates stringified the way the query layer
+      stringifies term values (utils.rs:63-77 ↔ dsl._as_string):
+      booleans → 'true'/'false', integers → decimal string, dates →
+      ISO-8601 micros (terms.py documents the byte-level equivalence);
+    * ``_all`` = space-joined include_in_all string values in mapping
+      order (document.rs:100-118).
+    """
+    out = docs
+    for f in fields:
+        if f.type == "boolean":
+            out = out.withColumn(
+                f.name, F.when(F.col(f.name), "true")
+                .otherwise(F.when(~F.col(f.name), "false")))
+        elif f.type == "integer":
+            out = out.withColumn(f.name, F.col(f.name).cast("long")
+                                 .cast("string"))
+        elif f.type == "date":
+            out = out.withColumn(
+                f.name, F.date_format(F.col(f.name),
+                                      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+    if with_all and any(f.include_in_all for f in fields):
+        parts = [F.coalesce(F.col(f.name), F.lit(""))
+                 for f in fields if f.include_in_all]
+        out = out.withColumn("_all", F.concat_ws(" ", *parts))
+    return out

@@ -1,0 +1,121 @@
+"""Mapping parsing (mapping/parse.rs + build.rs test analogues),
+_all field semantics, and the cluster name/alias registry
+(name_registry.rs:18-150)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusticsearch_spark.cluster import Cluster, NameRegistry, NameRegistryError
+from rusticsearch_spark.mapping import (FieldMapping, MappingParseError,
+                                        mapping_to_config, parse_mapping,
+                                        prepare_docs)
+
+MAPPING = {
+    "properties": {
+        "title": {"type": "string", "analyzer": "standard", "boost": 2.0},
+        "tag": {"type": "string", "index": "not_analyzed"},
+        "views": {"type": "integer"},
+        "published": {"type": "boolean", "store": True},
+        "hidden": {"type": "string", "include_in_all": False},
+    }
+}
+
+
+def test_parse_mapping_types_and_flags():
+    fields = {f.name: f for f in parse_mapping(MAPPING)}
+    assert fields["title"].is_analyzed and fields["title"].analyzer == \
+        "standard" and fields["title"].boost == 2.0
+    assert not fields["tag"].is_analyzed           # not_analyzed → raw term
+    assert not fields["views"].is_analyzed         # integer → exact term
+    assert fields["published"].store
+    # _all membership: strings only, include_in_all honored
+    assert fields["title"].include_in_all
+    assert fields["tag"].include_in_all
+    assert not fields["views"].include_in_all
+    assert not fields["hidden"].include_in_all
+
+
+def test_parse_mapping_analyzer_precedence():
+    # field analyzer > index_analyzer > default (mapping/build.rs)
+    fields = parse_mapping({"properties": {
+        "a": {"type": "string", "analyzer": "x", "index_analyzer": "y"},
+        "b": {"type": "string", "index_analyzer": "y"},
+        "c": {"type": "string"},
+    }}, default_analyzer="std")
+    by = {f.name: f.analyzer for f in fields}
+    assert by == {"a": "x", "b": "y", "c": "std"}
+
+
+def test_parse_mapping_rejects_unknown_type():
+    with pytest.raises(MappingParseError):
+        parse_mapping({"properties": {"x": {"type": "geo_point"}}})
+    with pytest.raises(MappingParseError):
+        parse_mapping({"properties": {}})
+
+
+def test_mapping_to_config_adds_all_field():
+    cfg = mapping_to_config(parse_mapping(MAPPING), key_col="url")
+    assert cfg.fields["_all"] == "standard"
+    assert cfg.fields["tag"] is None
+    assert cfg.fields["views"] is None
+    assert cfg.stored == ["published"]
+
+
+def test_prepare_docs_synthesizes_all_and_strings(spark):
+    df = spark.createDataFrame(
+        [("u1", "Hello World", "news", 7, True, "secret")],
+        "url string, title string, tag string, views int, "
+        "published boolean, hidden string")
+    out = prepare_docs(df, parse_mapping(MAPPING)).first()
+    assert out.views == "7"
+    assert out.published == "true"
+    # _all: include_in_all strings joined with a single space,
+    # mapping order (document.rs:100-118)
+    assert out._all == "Hello World news"
+
+
+def test_name_registry_semantics():
+    reg = NameRegistry()
+    reg.insert_index("idx1")
+    reg.insert_index("idx2")
+    with pytest.raises(NameRegistryError):
+        reg.insert_index("idx1")               # duplicate
+    reg.put_alias("al", "idx1")
+    reg.put_alias("al", "idx2")                # alias spans 2 indices
+    with pytest.raises(NameRegistryError):
+        reg.insert_index("al")                 # name collides with alias
+    with pytest.raises(NameRegistryError):
+        reg.put_alias("idx2", "idx1")          # alias collides with index
+    assert reg.resolve("al") == ["idx1", "idx2"]
+    assert reg.resolve("idx1") == ["idx1"]
+    reg.delete_alias("al", "idx2")
+    assert reg.resolve("al") == ["idx1"]
+    reg.delete_index("idx1")
+    with pytest.raises(NameRegistryError):
+        reg.resolve("al")                      # empty alias gone
+
+
+def test_cluster_end_to_end(spark, webtext, tmp_path):
+    cluster = Cluster(spark, str(tmp_path / "cluster"))
+    mapping = {"properties": {
+        "text": {"type": "string"},
+        "lang": {"type": "string", "index": "not_analyzed"},
+    }}
+    cluster.create_index("pages", mapping, key_col="url")
+    cluster.bulk("pages", webtext.select("url", "text", "lang").limit(60),
+                 key_col="url", n_buckets=4, tbuckets=2,
+                 shuffle_partitions=4)
+    cluster.put_alias("web", "pages")
+
+    hits = cluster.search("web", {"match": {"text": "spark"}}, size=5)
+    assert hits and all(h["_index"] == "pages" for h in hits)
+    assert cluster.count("web") == 60
+    assert cluster.count("pages", {"term": {"lang": "en"}}) > 0
+
+    # _all field: match with no explicit field routing
+    all_hits = cluster.search("web", {"match": {"_all": "spark"}}, size=5)
+    assert all_hits
+
+    cluster.delete_index("pages")
+    with pytest.raises(NameRegistryError):
+        cluster.count("web")

@@ -1,0 +1,129 @@
+"""Training-data ops: dedup, ANN similarity, text stats, multimodal
+plumbing — brute-force/numpy cross-checks (the DuckDB oracle parity
+for these runs in the driver gate; see driver_queries.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_exact_duplicates_finds_planted_dup(spark, docs):
+    from rusticsearch_spark.ops.dedup import exact_duplicates
+    planted = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = exact_duplicates(docs.unionByName(planted))
+    rows = d.collect()
+    assert len(rows) == 3
+    assert all(r.n_dups == 2 for r in rows)
+    # keep_id is the original (minimum) id
+    assert all(r.keep_id < 100000 for r in rows)
+
+
+def test_jaccard_pairs_identical_docs_score_one(spark, docs):
+    from rusticsearch_spark.ops.dedup import jaccard_pairs
+    two = docs.limit(1)
+    dup = two.withColumn("doc_id", F.lit(999999))
+    pairs = jaccard_pairs(two.unionByName(dup), threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+def test_minhash_bands_catch_exact_dup(spark, docs):
+    from rusticsearch_spark.ops.dedup import minhash_band_pairs
+    base = docs.limit(5)
+    dup = base.limit(1).withColumn("doc_id", F.lit(999999))
+    pairs = minhash_band_pairs(base.unionByName(dup)).collect()
+    assert any({p.id_a, p.id_b} >= {999999} or p.id_b == 999999
+               for p in pairs)
+
+
+def test_simhash_stable_and_bounded(spark, docs):
+    from rusticsearch_spark.ops.dedup import simhash
+    a = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    assert a == b                       # deterministic
+    assert all(0 <= v < (1 << 16) for v in a.values())
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    from rusticsearch_spark.ops.similarity import cosine_topk
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in rows}
+    q = vecs[0]
+    sims = {vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in vecs.items() if vid != 0}
+    want = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    got = cosine_topk(emb.where("vec_id <> 0"),
+                      list(vecs[0]), k=10).collect()
+    assert [g.vec_id for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g.cos for g in got],
+                               [round(w[1], 6) for w in want], atol=2e-6)
+
+
+def test_ann_lsh_subset_of_bucket(spark, emb):
+    from rusticsearch_spark.ops.similarity import ann_topk_lsh, cosine_topk
+    rows = emb.collect()
+    q = list(rows[0].embedding)
+    approx = ann_topk_lsh(emb.where("vec_id <> 0"), q, k=5, nbits=4).collect()
+    exact = cosine_topk(emb.where("vec_id <> 0"), q, k=100).collect()
+    exact_order = {r.vec_id: i for i, r in enumerate(exact)}
+    # every ANN hit is a genuinely high-cosine vector (same bucket ⇒
+    # leading sign bits agree with the query)
+    assert all(a.vec_id in exact_order for a in approx)
+
+
+def test_embedding_near_dups_planted(spark, emb):
+    from rusticsearch_spark.ops.dedup import embedding_near_dups
+    dup = emb.limit(1).withColumn("vec_id", F.lit(999999))
+    pairs = embedding_near_dups(emb.unionByName(dup),
+                                threshold=0.999).collect()
+    assert any(p.id_b == 999999 and p.id_a == 0 for p in pairs)
+
+
+def test_quality_and_langid_shapes(spark, docs):
+    from rusticsearch_spark.ops.text_stats import lang_id, quality_score
+    q = quality_score(docs).collect()
+    assert len(q) == docs.count()
+    assert all(0 <= r.distinct_ratio <= 1 and 0 <= r.stopword_ratio <= 1
+               for r in q)
+    l = {r.doc_id: r.lang_guess for r in lang_id(docs).collect()}
+    assert set(l.values()) <= {"en", "es", "fr", "und"}
+
+
+def test_fingerprint_detects_shared_prefix(spark, docs):
+    from rusticsearch_spark.ops.text_stats import doc_fingerprint
+    fp = doc_fingerprint(docs)
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    fp2 = doc_fingerprint(docs.unionByName(dup))
+    a = {r.doc_id: r.fingerprint for r in fp2.collect()}
+    assert a[999999] == a[0]            # identical text ⇒ same fingerprint
+
+
+def test_multimodal_stub_pipeline(spark, webtext):
+    from rusticsearch_spark.ops.multimodal import (decode_media,
+                                                   decode_media_real,
+                                                   frame_sample,
+                                                   media_from_webtext)
+    media = media_from_webtext(webtext.limit(20))
+    feats = decode_media(media).collect()
+    assert len(feats) == 20
+    assert all(64 <= f.width <= 255 and f.n_bytes > 0 for f in feats)
+    # deterministic across runs
+    again = decode_media(media).collect()
+    assert sorted(f.sha256 for f in feats) == sorted(f.sha256 for f in again)
+    # the real-decode hook is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"x", "image")
+    frames = frame_sample(media.limit(2), every_n=1).collect()
+    assert frames and all(f.frame_idx == 0 for f in frames)  # images: 1 frame
