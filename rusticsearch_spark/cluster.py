@@ -144,6 +144,25 @@ class Cluster:
         return sum(self.engine(i).count(query_json)
                    for i in self.registry.resolve(name))
 
+    def get_document(self, index: str, key: str) -> Optional[dict]:
+        """GET /:index/:mapping/:doc — returns the stored row as a
+        dict (the reference stubs this with ``{}``,
+        document_api.rs:30-49; ours is functional)."""
+        eng = self.engine(index)
+        frame = eng.docs.where(F.col(eng.config.key_col) == key)
+        if eng.deletions is not None:
+            frame = frame.join(eng.deletions, "doc_id", "left_anti")
+        row = frame.limit(1).collect()
+        return row[0].asDict() if row else None
+
+    def delete_document(self, index: str, key: str) -> bool:
+        """DELETE /:index/:mapping/:doc — logical delete via the
+        deletion list; physically erased at the next merge."""
+        from .index.delete import delete_documents
+        n = delete_documents(self.spark, self._dir(index), keys=[key])
+        self._engines.pop(index, None)
+        return n > 0
+
     def refresh(self, name: str) -> None:
         """POST /:index/_refresh — drop cached engines so new jobs are
         visible (the reference acks it as a no-op, index_api.rs:155-161)."""

@@ -1,0 +1,64 @@
+"""Document deletion: the PK-index delete of the reference
+(/root/reference/src/search/backends/rocksdb/document_index.rs:56-110
+marking doc ids in per-segment deletion lists, key_builder.rs:136-141).
+
+Deletes are logical: an appended parquet list of doc_ids that every
+query plan anti-joins (the planner's unconditional deletion-list
+AndNot, planner/mod.rs:34-36).  ``index.merge.merge_jobs`` applies
+them physically and resets the lists — exactly the reference's
+merge-time cleanup (segment_ops.rs:157-206).
+
+Statistics semantics mirror the reference too: field/term statistics
+are NOT decremented by deletes (only ``deleted_docs`` grows,
+statistics.rs) — scores of surviving docs are unchanged until a
+merge recomputes stats from live docs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .layout import IndexLayout
+
+
+def load_deletions(spark: SparkSession,
+                   layout: IndexLayout) -> Optional[DataFrame]:
+    dirs = layout.deletion_dirs()
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("doc_id").distinct()
+
+
+def delete_documents(spark: SparkSession, index_dir: str,
+                     keys: Optional[List[str]] = None,
+                     doc_ids: Optional[List[int]] = None) -> int:
+    """Mark documents deleted by key (PK lookup) or by doc_id.
+
+    Returns the number of newly resolved doc ids written (0 if no
+    key matched — deleting a missing key is a no-op, as in
+    document_index.rs:96-110).
+    """
+    layout = IndexLayout(index_dir)
+    config = layout.read_config()
+    docs = spark.read.parquet(layout.table("docs"))
+    if keys is not None:
+        target = docs.where(F.col(config.key_col).isin(list(keys))) \
+            .select("doc_id")
+    elif doc_ids is not None:
+        target = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long")
+    else:
+        raise ValueError("pass keys or doc_ids")
+    target = target.distinct()
+    already = load_deletions(spark, layout)
+    if already is not None:
+        # deleting a deleted doc is a no-op (document_index.rs:96-110)
+        target = target.join(already, "doc_id", "left_anti")
+    n = target.count()
+    if n:
+        target.coalesce(1).write.mode("overwrite").parquet(
+            layout.next_deletion_dir())
+    return n

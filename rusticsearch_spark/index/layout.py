@@ -140,3 +140,19 @@ class IndexLayout:
             path = self.job_dir(name, job)
             if os.path.isdir(path):
                 shutil.rmtree(path)
+
+    # -- deletion lists (the reference's `x<segment>` Roaring lists,
+    # key_builder.rs:136-141; ours is a doc_id parquet appended per
+    # delete batch, applied as an anti-join on every plan and erased
+    # physically at merge) -------------------------------------------
+    def deletion_dirs(self) -> List[str]:
+        root = self.table("deletions")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+
+    def next_deletion_dir(self) -> str:
+        dirs = self.deletion_dirs()
+        return os.path.join(self.table("deletions"), f"d{len(dirs):06d}")

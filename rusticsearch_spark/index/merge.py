@@ -84,8 +84,15 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
     shuffle_p = (config.shuffle_partitions
                  or int(spark.conf.get("spark.sql.shuffle.partitions")))
 
+    from .delete import load_deletions
+    deletions = load_deletions(spark, layout)
+
     docs = spark.read.option("basePath", layout.table("docs")).parquet(
         *[layout.job_dir("docs", j) for j in jobs]).drop("job")
+    if deletions is not None:
+        # physical cleanup: deleted docs vanish and statistics are
+        # recomputed from survivors (segment_ops.rs:157-206 semantics)
+        docs = docs.join(deletions, "doc_id", "left_anti")
     docs.write.mode("overwrite").parquet(out.job_dir("docs", 0))
     n_docs = spark.read.parquet(out.job_dir("docs", 0)).count()
 
@@ -94,6 +101,8 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
     rows = blocks.select("field", "term", "segment", "doc_bytes",
                          "tf_bytes", "len_bytes") \
         .mapInPandas(_decode_to_rows, schema=_ROWS_SCHEMA)
+    if deletions is not None:
+        rows = rows.join(deletions, "doc_id", "left_anti")
     merged = (rows
               .repartition(shuffle_p, "field", "term", "segment")
               .sortWithinPartitions("field", "term", "segment", "doc_id")

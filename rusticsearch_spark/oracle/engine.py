@@ -41,6 +41,12 @@ class OracleIndex:
         self.field_docs: Counter = Counter()
         self.field_tokens: Counter = Counter()
         self.doc_ids: List[int] = []
+        # logical deletes: excluded from matching, but statistics stay
+        # un-decremented until merge (statistics.rs deleted_docs)
+        self.deleted: set = set()
+
+    def delete(self, doc_id: int) -> None:
+        self.deleted.add(doc_id)
 
     # -- indexing (segment_builder.rs:53-132 semantics) ---------------
     def add(self, doc_id: int, values: Dict[str, Optional[str]]) -> None:
@@ -139,9 +145,11 @@ class OracleIndex:
     def search(self, q: dsl.Query, k: int = 10,
                from_: int = 0) -> List[Tuple[int, float]]:
         hits = [(doc_id, float(self.score(q, doc_id)))
-                for doc_id in self.doc_ids if self.matches(q, doc_id)]
+                for doc_id in self.doc_ids
+                if doc_id not in self.deleted and self.matches(q, doc_id)]
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[from_:from_ + k]
 
     def count(self, q: dsl.Query) -> int:
-        return sum(1 for d in self.doc_ids if self.matches(q, d))
+        return sum(1 for d in self.doc_ids
+                   if d not in self.deleted and self.matches(q, d))

@@ -184,6 +184,16 @@ class SearchEngine:
         # (the reference memoizes per query, statistics.rs:46-78 —
         # ours are immutable per snapshot so engine-lifetime is safe)
         self.field_stats = {r.field: (int(r.d), int(r.t)) for r in stats}
+        # deletion list: anti-joined onto every plan (the planner's
+        # unconditional AndNot, planner/mod.rs:34-36); stats stay
+        # un-decremented until merge, like the reference
+        from ..index.delete import load_deletions
+        self.deletions = load_deletions(spark, self.layout)
+
+    def _live(self, frame: DataFrame) -> DataFrame:
+        if self.deletions is None:
+            return frame
+        return frame.join(self.deletions, "doc_id", "left_anti")
 
     # ---------------------------------------------------------------
     # public API (the reference's _search/_count semantics)
@@ -198,10 +208,12 @@ class SearchEngine:
         """Top-k (doc_id, score), score desc, doc_id asc tie-break."""
         q = self.parse(query_json)
         k = from_ + size
-        if wand and isinstance(q, dsl.Term):
+        # WAND's pass-1 threshold must reflect only live docs, so the
+        # fast path is disabled when a deletion list exists
+        if wand and self.deletions is None and isinstance(q, dsl.Term):
             frame = self._score_term(q.field, q.term, q.scorer, k=k)
         else:
-            frame = self._materialize(self._score(q))
+            frame = self._live(self._materialize(self._score(q)))
         out = frame.orderBy(F.desc("score"), F.asc("doc_id"))
         if from_:
             out = out.offset(from_)
@@ -220,17 +232,19 @@ class SearchEngine:
     def count(self, query_json: Optional[dict] = None) -> int:
         """_count: scoring elided entirely (planner/mod.rs:43-47)."""
         if query_json is None:
-            return self.docs.count()
+            return self._live(self.docs.select("doc_id")).count()
         q = self.parse(query_json)
-        if isinstance(q, dsl.Term):
+        if isinstance(q, dsl.Term) and self.deletions is None:
             # metadata-only: Σ df_block, no posting decode at all
             r = self._term_blocks(q.field, q.term) \
                 .agg(F.sum("df_block")).collect()[0][0]
             return int(r or 0)
         ds = self._docset(q)
         if isinstance(ds, str):
-            return self.docs.count() if ds == ALL else 0
-        return ds.count()
+            if ds == NONE:
+                return 0
+            return self._live(self.docs.select("doc_id")).count()
+        return self._live(ds).count()
 
     # ---------------------------------------------------------------
     # fused multi-term path: ONE decode job for a combinator whose

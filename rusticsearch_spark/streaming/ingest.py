@@ -36,7 +36,7 @@ class StreamingIngester:
     def __init__(self, spark: SparkSession, index_dir: str,
                  config: Optional[IndexConfig] = None,
                  n_buckets_per_batch: int = 8,
-                 dedup_keys: bool = True):
+                 dedup_keys: bool = True, upsert: bool = False):
         self.spark = spark
         self.layout = IndexLayout(index_dir)
         try:
@@ -47,6 +47,7 @@ class StreamingIngester:
         self.registry = _registry(self.config)
         self.n_buckets_per_batch = n_buckets_per_batch
         self.dedup_keys = dedup_keys
+        self.upsert = upsert
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         job = STREAM_JOB_BASE + int(batch_id)
@@ -54,15 +55,22 @@ class StreamingIngester:
             return  # replayed batch: lineage says done → idempotent skip
         key = self.config.key_col
         batch_df = batch_df.dropDuplicates([key])
-        if self.dedup_keys:
-            # first-writer-wins insert semantics: skip keys already in
-            # the index (the reference *updates* via delete-marking,
-            # document_index.rs:71-91; we are append-only)
-            done = self.layout.completed_jobs(self.spark)
-            if done:
-                existing = self.spark.read.parquet(
-                    self.layout.table("docs")).select(key)
-                batch_df = batch_df.join(existing, key, "left_anti")
+        done = self.layout.completed_jobs(self.spark)
+        if self.upsert and done:
+            # insert_or_update semantics (rocksdb/mod.rs:212-226):
+            # mark any existing doc with the same key deleted, then
+            # index the incoming version under a fresh doc_id
+            existing = (self.spark.read.parquet(self.layout.table("docs"))
+                        .join(batch_df.select(key), key, "left_semi")
+                        .select("doc_id").distinct())
+            if not existing.isEmpty():
+                existing.coalesce(1).write.mode("overwrite").parquet(
+                    self.layout.next_deletion_dir())
+        elif self.dedup_keys and done:
+            # first-writer-wins insert: skip keys already indexed
+            existing_keys = self.spark.read.parquet(
+                self.layout.table("docs")).select(key)
+            batch_df = batch_df.join(existing_keys, key, "left_anti")
         if batch_df.isEmpty():
             # nothing new: still commit the lineage row so a replay of
             # this batch id remains a no-op
