@@ -24,6 +24,7 @@ REP = sys.argv[2] if len(sys.argv) > 2 else \
 def run(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPLICATE=str(REP))
+    env.setdefault("SPARK_GRAFT_QUERY_RUNS", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True)
