@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -130,20 +130,95 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
     return row
 
 
+# the reference's size tiers (src/index/maintenance.rs:14-54):
+# segments grouped by doc count; the fullest tier merges when it has
+# ≥ 3 candidates.  Our "segment" is a job directory.
+_TIERS = [(1, 9), (10, 99), (100, 999), (1000, 9999), (10_000, 65_536)]
+
+
+def select_merge_candidates(job_sizes: Dict[int, int],
+                            min_candidates: int = 3,
+                            budget: int = 65_536) -> List[int]:
+    """Size-tiered merge selection, mirroring maintenance.rs:7-82:
+
+    * bucket jobs into doc-count tiers;
+    * pick the tier with the most members if it has ≥ min_candidates;
+    * fill the merge set largest-first up to the doc budget.
+
+    Returns the job ids to merge ([] = nothing to do).
+    """
+    tiers: Dict[int, List[int]] = {}
+    for job, n in job_sizes.items():
+        for i, (lo, hi) in enumerate(_TIERS):
+            if lo <= n <= hi:
+                tiers.setdefault(i, []).append(job)
+                break
+    if not tiers:
+        return []
+    best = max(tiers.values(), key=len)
+    if len(best) < min_candidates:
+        return []
+    chosen: List[int] = []
+    total = 0
+    for job in sorted(best, key=lambda j: -job_sizes[j]):
+        if total + job_sizes[job] > budget and chosen:
+            continue
+        chosen.append(job)
+        total += job_sizes[job]
+    return sorted(chosen) if len(chosen) >= min_candidates else []
+
+
 def maintenance(spark: SparkSession, index_dir: str,
-                max_jobs: int = 8) -> Optional[str]:
-    """Merge-policy loop body: when the index has accumulated more
-    than ``max_jobs`` job directories (streaming batches), compact
-    them into a new generation directory and atomically swap via
-    rename.  Returns the retired generation path, or None if below
-    threshold."""
+                max_jobs: Optional[int] = None,
+                min_candidates: int = 3) -> Optional[str]:
+    """Merge-policy loop body (the reference's 1 Hz maintenance
+    thread, src/main.rs:64-84): apply the size-tiered policy to the
+    accumulated job directories; if a merge is due, compact the
+    selected jobs into a new generation and atomically swap via
+    rename.  ``max_jobs`` forces a full compaction when the job count
+    exceeds it regardless of tiering.  Returns the retired generation
+    path, or None if nothing merged."""
     layout = IndexLayout(index_dir)
-    jobs = layout.completed_jobs(spark)
-    if len(jobs) <= max_jobs:
+    lineage = layout.lineage(spark)
+    if lineage is None:
+        return None
+    sizes = {r.job: int(r.n_docs) for r in
+             lineage.where("status = 'done'")
+             .select("job", "n_docs").collect() if r.n_docs}
+    if max_jobs is not None and len(sizes) > max_jobs:
+        selected = sorted(sizes)
+    else:
+        selected = select_merge_candidates(sizes, min_candidates)
+    if not selected or len(selected) < 2:
         return None
     gen_tmp = index_dir.rstrip("/") + ".compact_tmp"
     retired = index_dir.rstrip("/") + f".gen{int(time.time())}"
-    merge_jobs(spark, index_dir, gen_tmp)
-    os.rename(index_dir, retired)
-    os.rename(gen_tmp, index_dir)
-    return retired
+    if set(selected) == set(sizes):
+        merge_jobs(spark, index_dir, gen_tmp)
+        os.rename(index_dir, retired)
+        os.rename(gen_tmp, index_dir)
+        return retired
+    # partial merge: compact the selected jobs into one new job dir
+    # inside the SAME index (two-phase: data first, lineage commit
+    # last, then retire the source job dirs)
+    row = merge_jobs(spark, index_dir, gen_tmp, jobs=selected)
+    new_job = max(sizes) + 1
+    for name in ("docs", "postings", "field_stats", "lineage"):
+        src = IndexLayout(gen_tmp).job_dir(name, 0)
+        if os.path.isdir(src):
+            os.rename(src, layout.job_dir(name, new_job))
+    # swap visibility: deactivate sources first, then activate the
+    # merged job (readers resolve jobs via lineage; a reader in the
+    # gap sees fewer docs, never duplicates — the closest filesystem
+    # analogue of the reference's single-batch activate/deactivate,
+    # segment_ops.rs:270-289)
+    for j in selected:
+        shutil.rmtree(layout.job_dir("lineage", j), ignore_errors=True)
+    layout.commit_job(spark, {**row, "job": new_job})
+    for j in selected:
+        for name in ("docs", "postings", "field_stats"):
+            p = layout.job_dir(name, j)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+    shutil.rmtree(gen_tmp, ignore_errors=True)
+    return gen_tmp

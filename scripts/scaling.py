@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -25,9 +26,16 @@ def run(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPLICATE=str(REP))
     env.setdefault("SPARK_GRAFT_QUERY_RUNS", "1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True)
+    # HARD-cap the run to `cpus` physical cores (inherited by the JVM
+    # and every forked Python worker).  local[N] alone does NOT cap
+    # cores for UDF loads — each task thread pairs with a Python
+    # worker process, so local[2] otherwise consumes ~4 cores and the
+    # scaling comparison understates itself.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -60,12 +68,15 @@ def main() -> None:
         "noisy-neighbor variable).",
         "",
         "No real cluster exists in this sandbox; N vs 4N executors is "
-        "proxied by Spark local[N] thread counts sharing one JVM. "
-        "The host VM reliably delivers only ~8-16 vCPUs of mixed "
-        "JVM+Python capacity (32 advertised), so the 2→8 pair is the "
-        "faithful 4× hardware comparison; 8→32 is reported for "
-        "transparency but is capacity-capped, not engine-capped "
-        "(isolated per-stage profiles at 32 threads beat 8 threads).",
+        "proxied by `taskset -c 0-(N-1) … local[N]`: CPU affinity "
+        "hard-caps the JVM **and** its forked Python workers to N "
+        "physical cores (local[N] alone does not bound cores for "
+        "UDF-heavy loads).  The host VM over-subscribes its 32 vCPUs "
+        "(steal-time spikes; mixed JVM+Python capacity saturates "
+        "~8-16), so the 2→8 pair is the faithful 4×-hardware "
+        "comparison; 8→32 is reported for transparency but is "
+        "host-capacity-capped, not engine-capped (isolated per-stage "
+        "profiles at 32 threads beat 8 threads).",
         "",
         "| cpus | build sec | docs/sec | query p50 | query p95 |",
         "|---|---|---|---|---|",

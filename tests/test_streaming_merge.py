@@ -104,8 +104,50 @@ def test_maintenance_compacts_and_swaps(spark, stream_index, tmp_path):
     work = str(tmp_path / "work_idx")
     shutil.copytree(stream_index, work)
     before = _results_by_url(spark, work)
-    assert maintenance(spark, work, max_jobs=8) is None   # below threshold
+    # 3 same-tier jobs < min_candidates=4 → policy declines
+    assert maintenance(spark, work, min_candidates=4) is None
     retired = maintenance(spark, work, max_jobs=2)        # 3 jobs > 2
     assert retired is not None
     assert IndexLayout(work).completed_jobs(spark) == [0]
     assert _results_by_url(spark, work) == before
+
+
+def test_maintenance_size_tiered_partial_merge(spark, stream_index,
+                                               webtext, tmp_path):
+    """The reference's size-tiered policy (maintenance.rs:14-54): the
+    fullest tier merges when ≥3 candidates; jobs in other tiers stay
+    untouched."""
+    import shutil
+
+    from rusticsearch_spark.streaming.ingest import StreamingIngester
+    work = str(tmp_path / "tier_idx")
+    shutil.copytree(stream_index, work)
+    # add a tiny job in the 1-9 tier: stays out of the merge
+    extra = (webtext.select("url", "text", "lang").limit(5)
+             .withColumn("url", F.concat(F.lit("x://t/"), F.col("url"))))
+    StreamingIngester(spark, work).process_batch(extra, 50)
+    layout = IndexLayout(work)
+    jobs_before = layout.completed_jobs(spark)
+    assert len(jobs_before) == 4
+    before_count = SearchEngine(spark, work).count()
+    before = _results_by_url(spark, work)
+
+    assert maintenance(spark, work) is not None
+    jobs_after = layout.completed_jobs(spark)
+    assert len(jobs_after) == 2          # 3 merged into 1, tiny kept
+    assert SearchEngine(spark, work).count() == before_count
+    assert _results_by_url(spark, work) == before
+
+
+def test_select_merge_candidates_policy():
+    from rusticsearch_spark.index.merge import select_merge_candidates
+    # fullest tier wins; largest-first fill; budget respected
+    sizes = {1: 5, 2: 7, 3: 3, 4: 500, 5: 600}
+    assert select_merge_candidates(sizes) == [1, 2, 3]
+    assert select_merge_candidates({1: 5, 2: 7}) == []      # < 3
+    assert select_merge_candidates({}) == []
+    # budget: huge jobs can't all fit in one 65,536-doc merge
+    big = {i: 30_000 for i in range(4)}
+    chosen = select_merge_candidates(big)
+    assert len(chosen) == 0 or sum(big[j] for j in chosen) <= 65_536 \
+        or len(chosen) == 1
