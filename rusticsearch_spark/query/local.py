@@ -1,0 +1,250 @@
+"""LocalSearcher: millisecond serving over a Spark-built index.
+
+The build side is distributed (100 TB story, ``index.build``); the
+serving side of the reference is a single-node process answering in
+milliseconds (src/api/search_api.rs).  This mirrors that split the
+way production systems do: executors build the immutable posting
+artifact, a serving tier memory-maps *its shard* of it.  Here the
+shard is the whole (test-scale) index, loaded once from parquet via
+Arrow — at web scale one LocalSearcher instance would own one
+``tbucket`` directory.
+
+Everything is numpy set-at-a-time over the decoded blocks, computing
+the exact f32 scores of ``similarity.py`` — the same rank-identity
+battery that pins the Spark engine pins this one
+(tests/test_local_searcher.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..index.codec import decode_block
+from ..index.layout import IndexConfig, IndexLayout
+from ..similarity import bm25_f32, lengths_from_bytes, tfidf_f32
+from ..analysis.analyzers import AnalyzerRegistry, parse_analysis_settings
+from . import dsl
+
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+Frame = Tuple[np.ndarray, np.ndarray]      # (doc_ids sorted-unique, scores)
+
+
+class LocalSearcher:
+    def __init__(self, index_dir: str):
+        layout = IndexLayout(index_dir)
+        self.config: IndexConfig = layout.read_config()
+        if self.config.analysis_settings:
+            self.registry = parse_analysis_settings(
+                self.config.analysis_settings)
+        else:
+            self.registry = AnalyzerRegistry()
+        # postings: (field, term) -> merged (doc_ids, tfs, lens) +
+        # per-term df; loaded eagerly from the block table
+        self._post: Dict[Tuple[str, str],
+                         Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        tbl = pq.read_table(layout.table("postings"),
+                            columns=["field", "term", "segment",
+                                     "doc_bytes", "tf_bytes", "len_bytes"])
+        fields = tbl.column("field").to_pylist()
+        terms = tbl.column("term").to_pylist()
+        segs = tbl.column("segment").to_numpy()
+        docs_b = tbl.column("doc_bytes").to_pylist()
+        tfs_b = tbl.column("tf_bytes").to_pylist()
+        lens_b = tbl.column("len_bytes").to_pylist()
+        grouped: Dict[Tuple[str, str], List] = {}
+        for i in range(len(fields)):
+            grouped.setdefault((fields[i], terms[i]), []).append(i)
+        for key, idxs in grouped.items():
+            ids: List[np.ndarray] = []
+            tfs: List[np.ndarray] = []
+            lens: List[np.ndarray] = []
+            for i in idxs:
+                d, t, l = decode_block(int(segs[i]), docs_b[i], tfs_b[i],
+                                       lens_b[i])
+                ids.append(d)
+                tfs.append(t)
+                lens.append(l)
+            d = np.concatenate(ids)
+            order = np.argsort(d, kind="stable")
+            self._post[key] = (d[order],
+                               np.concatenate(tfs)[order],
+                               np.concatenate(lens)[order])
+        stats = pq.read_table(layout.table("field_stats")).to_pydict()
+        self.field_stats: Dict[str, Tuple[int, int]] = {}
+        for f, d, t in zip(stats["field"], stats["total_docs"],
+                           stats["total_tokens"]):
+            pd_, pt = self.field_stats.get(f, (0, 0))
+            self.field_stats[f] = (pd_ + int(d), pt + int(t))
+        self.all_doc_ids = np.sort(pq.read_table(
+            layout.table("docs"), columns=["doc_id"]
+        ).column("doc_id").to_numpy())
+        ddirs = layout.deletion_dirs()
+        self.deleted: Optional[np.ndarray] = None
+        if ddirs:
+            self.deleted = np.unique(np.concatenate([
+                pq.read_table(d, columns=["doc_id"])
+                .column("doc_id").to_numpy() for d in ddirs]))
+
+    # -- public API ---------------------------------------------------
+    def parse(self, query_json: dict) -> dsl.Query:
+        ctx = dsl.ParseContext(fields=dict(self.config.fields),
+                               analyzers=self.registry)
+        return dsl.parse(query_json, ctx)
+
+    def search(self, query_json: dict, size: int = 10,
+               from_: int = 0) -> List[Tuple[int, float]]:
+        ids, scores = self._materialize(self._score(self.parse(query_json)))
+        if self.deleted is not None and ids.size:
+            live = ~np.isin(ids, self.deleted)
+            ids, scores = ids[live], scores[live]
+        k = from_ + size
+        if ids.size > k:
+            part = np.argpartition(-scores, k - 1)[:k]
+            ids, scores = ids[part], scores[part]
+        order = np.lexsort((ids, -scores))
+        return [(int(ids[i]), float(scores[i])) for i in order][from_:k]
+
+    def count(self, query_json: Optional[dict] = None) -> int:
+        if query_json is None:
+            ids = self.all_doc_ids
+        else:
+            ids, _ = self._materialize(self._score(self.parse(query_json)))
+        if self.deleted is not None and ids.size:
+            ids = ids[~np.isin(ids, self.deleted)]
+        return int(ids.size)
+
+    # -- evaluation (mirrors query.engine semantics) -------------------
+    def _term(self, field: str, term: str,
+              scorer: dsl.TermScorer) -> Frame:
+        post = self._post.get((field, term))
+        if post is None:
+            return _EMPTY
+        ids, tfs, lens = post
+        d, t = self.field_stats.get(field, (0, 0))
+        if scorer.similarity == dsl.TFIDF:
+            s = tfidf_f32(tfs, d, len(ids))
+        else:
+            s = bm25_f32(tfs, lengths_from_bytes(lens), t, d, len(ids))
+        s = (s * np.float32(scorer.boost)).astype(np.float64)
+        return ids, s
+
+    def _prefix(self, q: dsl.Prefix) -> Frame:
+        matched = [k for k in self._post if k[0] == q.field
+                   and k[1].startswith(q.prefix)]
+        if not matched:
+            return _EMPTY
+        frames = [self._term(f, t, q.scorer) for f, t in matched]
+        ids, s = self._sum_frames(frames)
+        return ids, s / float(len(matched))
+
+    @staticmethod
+    def _sum_frames(frames: List[Frame]) -> Frame:
+        ids = np.concatenate([f[0] for f in frames])
+        s = np.concatenate([f[1] for f in frames])
+        uids, inv = np.unique(ids, return_inverse=True)
+        out = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(out, inv, s)
+        return uids, out
+
+    def _score(self, q: dsl.Query):
+        if isinstance(q, dsl.All):
+            return ("all", q.score)
+        if isinstance(q, dsl.NoneQuery):
+            return ("none", None)
+        if isinstance(q, dsl.Term):
+            return ("df", self._term(q.field, q.term, q.scorer))
+        if isinstance(q, dsl.Prefix):
+            return ("df", self._prefix(q))
+        if isinstance(q, (dsl.Conjunction, dsl.Disjunction,
+                          dsl.DisjunctionMax)):
+            mode = ("and" if isinstance(q, dsl.Conjunction) else
+                    "or" if isinstance(q, dsl.Disjunction) else "max")
+            return self._combine(q.queries, mode)
+        if isinstance(q, dsl.Filter):
+            return self._apply(self._score(q.query),
+                               self._docset(q.filter), anti=False)
+        if isinstance(q, dsl.Exclude):
+            return self._apply(self._score(q.query),
+                               self._docset(q.exclude), anti=True)
+        raise TypeError(type(q))
+
+    def _docset(self, q: dsl.Query):
+        scored = self._score(q)
+        if scored[0] == "df":
+            return scored[1][0]
+        return scored[0]            # "all" / "none" sentinel strings
+
+    def _apply(self, scored, dset, anti: bool):
+        kind, val = scored
+        if kind == "none":
+            return scored
+        if isinstance(dset, str):
+            hit_all = dset == "all"
+            if (hit_all and not anti) or (not hit_all and anti):
+                return scored
+            return ("none", None)
+        if kind == "all":
+            universe = self.all_doc_ids
+            keep = (~np.isin(universe, dset) if anti
+                    else np.isin(universe, dset))
+            ids = universe[keep]
+            return ("df", (ids, np.full(ids.size, float(val))))
+        ids, s = val
+        keep = ~np.isin(ids, dset) if anti else np.isin(ids, dset)
+        return ("df", (ids[keep], s[keep]))
+
+    def _combine(self, children, mode: str):
+        scored = [self._score(c) for c in children]
+        n = len(scored)
+        if n == 0 or (mode == "and"
+                      and any(k == "none" for k, _ in scored)):
+            return ("none", None)
+        consts = [v for k, v in scored if k == "all"]
+        frames = [v for k, v in scored if k == "df"]
+        if not frames:
+            if mode == "max":
+                return ("all", max(consts)) if consts else ("none", None)
+            if mode == "or" and not consts:
+                return ("none", None)
+            return ("all", sum(consts) / n if mode != "max" else max(consts))
+        if mode == "max":
+            ids = np.concatenate([f[0] for f in frames])
+            s = np.concatenate([f[1] for f in frames])
+            uids, inv = np.unique(ids, return_inverse=True)
+            out = np.zeros(uids.size, dtype=np.float64)
+            np.maximum.at(out, inv, s)
+            if consts:
+                cmax = max(consts)
+                out = np.maximum(out, cmax)
+                rest = self.all_doc_ids[~np.isin(self.all_doc_ids, uids)]
+                uids = np.concatenate([uids, rest])
+                out = np.concatenate([out, np.full(rest.size, cmax)])
+            return ("df", (uids, out))
+        ids = np.concatenate([f[0] for f in frames])
+        s = np.concatenate([f[1] for f in frames])
+        uids, inv, counts = np.unique(ids, return_inverse=True,
+                                      return_counts=True)
+        out = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(out, inv, s)
+        out = (out + float(sum(consts))) / float(n)
+        if mode == "and":
+            full = counts == len(frames)
+            return ("df", (uids[full], out[full]))
+        if consts:          # or-with-All: every doc matches
+            rest = self.all_doc_ids[~np.isin(self.all_doc_ids, uids)]
+            uids = np.concatenate([uids, rest])
+            out = np.concatenate(
+                [out, np.full(rest.size, float(sum(consts)) / n)])
+        return ("df", (uids, out))
+
+    def _materialize(self, scored) -> Frame:
+        kind, val = scored
+        if kind == "df":
+            return val
+        if kind == "none":
+            return _EMPTY
+        return (self.all_doc_ids,
+                np.full(self.all_doc_ids.size, float(val)))

@@ -1,0 +1,67 @@
+"""LocalSearcher (driver-side serving tier) must be rank-identical to
+the same oracle that pins the Spark engine — same index artifact,
+same f32 scores, millisecond latency."""
+
+import time
+
+import numpy as np
+import pytest
+
+from rusticsearch_spark.query.local import LocalSearcher
+
+from test_search_rank_identity import QUERIES
+
+
+@pytest.fixture(scope="module")
+def local(index_dir):
+    return LocalSearcher(index_dir)
+
+
+@pytest.mark.parametrize("name,query", QUERIES, ids=[q[0] for q in QUERIES])
+def test_local_topk_rank_identity(local, oracle, name, query):
+    got = local.search(query, size=10)
+    want = oracle.search(local.parse(query), k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], name
+    if want:
+        np.testing.assert_allclose([g[1] for g in got],
+                                   [w[1] for w in want],
+                                   rtol=2e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("name,query", QUERIES, ids=[q[0] for q in QUERIES])
+def test_local_count(local, oracle, name, query):
+    assert local.count(query) == oracle.count(local.parse(query))
+
+
+def test_local_pagination(local, oracle):
+    q = {"match": {"text": "spark query"}}
+    full = oracle.search(local.parse(q), k=20)
+    assert [h[0] for h in local.search(q, size=5, from_=5)] == \
+        [w[0] for w in full[5:10]]
+
+
+def test_local_latency_single_digit_ms(local):
+    """The serving-tier claim: warm top-10 answers in milliseconds
+    (the reference is an in-process server; this is our equivalent)."""
+    q = {"match": {"text": "spark query"}}
+    local.search(q, size=10)                      # warm
+    t0 = time.perf_counter()
+    for _ in range(20):
+        local.search(q, size=10)
+    per_query = (time.perf_counter() - t0) / 20
+    assert per_query < 0.05, f"{per_query * 1e3:.1f}ms per query"
+
+
+def test_local_sees_deletions(spark, index_dir, tmp_path, oracle):
+    import shutil
+
+    from rusticsearch_spark.index.delete import delete_documents
+    path = str(tmp_path / "ldel")
+    shutil.copytree(index_dir, path)
+    base = LocalSearcher(path)
+    victim = base.search({"match": {"text": "merge"}}, size=1)[0][0]
+    delete_documents(spark, path, doc_ids=[victim])
+    l2 = LocalSearcher(path)
+    assert l2.count() == base.count() - 1
+    assert victim not in [d for d, _ in
+                          l2.search({"match": {"text": "merge"}}, size=50)]
