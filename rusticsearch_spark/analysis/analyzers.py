@@ -54,6 +54,15 @@ class Analyzer:
     filters: Tuple[FilterFn, ...] = ()
     words_fn: Optional[Callable[[str], List[str]]] = None
     term_fns: Optional[Tuple[Callable[[str], str], ...]] = None
+    #: Pure-Spark-SQL expression of this chain, valid on rows whose
+    #: text contains no non-ASCII *word-relevant* character (see
+    #: ``index.build.SQL_UNSAFE_CHAR``): "word_lower" = standard word
+    #: regex + lower() (standard / lowercase analyzers — asciifold is
+    #: a no-op on ASCII tokens), "simple" = lower() + [a-z0-9]+ runs.
+    #: None = Python (pandas UDF) only.  Keeps the indexing hot path
+    #: JVM-side / whole-stage-codegen for web text; parity with the
+    #: Python chain is pinned by tests/test_sql_tokenize_parity.py.
+    sql_kind: Optional[str] = None
 
     def analyze(self, text: Optional[str]) -> List[Token]:
         if not text:
@@ -88,12 +97,14 @@ def standard_analyzer() -> Analyzer:
     return Analyzer("standard", standard_tokenize,
                     (lowercase_filter, ascii_folding_filter),
                     words_fn=standard_words,
-                    term_fns=(str.lower, ascii_fold))
+                    term_fns=(str.lower, ascii_fold),
+                    sql_kind="word_lower")
 
 
 def simple_analyzer() -> Analyzer:
     return Analyzer("simple", _simple_tokenize,
-                    words_fn=_simple_words, term_fns=())
+                    words_fn=_simple_words, term_fns=(),
+                    sql_kind="simple")
 
 
 _EDGE_SIDES = {"front": Edge.LEFT, "back": Edge.RIGHT}
@@ -108,7 +119,8 @@ class AnalyzerRegistry:
             "simple": simple_analyzer(),
             "lowercase": Analyzer(
                 "lowercase", standard_tokenize, (lowercase_filter,),
-                words_fn=standard_words, term_fns=(str.lower,)),
+                words_fn=standard_words, term_fns=(str.lower,),
+                sql_kind="word_lower"),
         }
 
     def get(self, name: str) -> Analyzer:

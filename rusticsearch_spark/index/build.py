@@ -68,6 +68,43 @@ POSTINGS_SCHEMA = T.StructType([
 ])
 
 
+# --- JVM-native tokenization fast path -------------------------------
+#
+# On web text the analyzer chain is the ONLY Python in the build; a
+# per-doc Python regex loop caps scaling (the Arrow hop + GIL-bound
+# worker competes with the JVM for the same cores).  For the standard
+# / lowercase / simple analyzers, rows whose text contains no
+# *non-ASCII word-relevant* character tokenize identically under a
+# pure-SQL expression (whole-stage codegen, zero Python):
+#
+# * every non-ASCII letter / number / combining mark would land INSIDE
+#   a token (chain output differs) — route those rows to the UDF;
+# * the curly apostrophe U+2019 is a MidLetter joiner that asciifold
+#   maps to "'" — route to the UDF;
+# * surrogates / private-use are unclassifiable — route to the UDF;
+# * every OTHER non-ASCII char (symbols ©™, punctuation, dashes,
+#   NBSP, ...) is a separator in both paths, so the ASCII word regex
+#   is exact, the tokens are pure ASCII, lower() == str.lower(), and
+#   asciifold is a no-op.
+#
+# Parity Python-chain == SQL-chain on safe rows is pinned by
+# tests/test_sql_tokenize_parity.py (goldens + randomized).
+SQL_UNSAFE_CHAR = "[[^\\x00-\\x7F]&&[\\p{L}\\p{N}\\p{M}\\p{Cs}\\p{Co}’]]"
+ASCII_WORD_PATTERN = "[A-Za-z0-9_]+(?:['.,:][A-Za-z0-9_]+)*"
+
+
+def sql_terms_column(sql_kind: str, col) -> "F.Column":
+    """The analyzer chain as a native SQL Column (see above)."""
+    if sql_kind == "word_lower":        # standard / lowercase analyzers
+        return F.transform(
+            F.regexp_extract_all(col, F.lit(ASCII_WORD_PATTERN), F.lit(0)),
+            F.lower)
+    if sql_kind == "simple":
+        return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"),
+                                    F.lit(0))
+    raise ValueError(f"unknown sql_kind: {sql_kind!r}")
+
+
 def _registry(config: IndexConfig) -> AnalyzerRegistry:
     if config.analysis_settings:
         return parse_analysis_settings(config.analysis_settings)
@@ -283,9 +320,28 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
                     F.lit(0).alias("len_byte"),
                 ))
         else:
-            tok = tokenize_udf(registry.get(analyzer_name))
-            t = ids.where(F.col(fname).isNotNull()).select(
-                F.col("doc_id"), tok(F.col(fname)).alias("terms"))
+            analyzer = registry.get(analyzer_name)
+            base = ids.where(F.col(fname).isNotNull())
+            if analyzer.sql_kind:
+                # SQL fast path for safe rows, pandas UDF for the rest.
+                # Split into two frames (not one when()): Spark
+                # evaluates a pandas UDF in its own ArrowEvalPython
+                # node for EVERY row regardless of the branch, so a
+                # conditional projection would still pay the Python
+                # hop for the whole corpus.
+                unsafe = F.col(fname).rlike(SQL_UNSAFE_CHAR)
+                tok = tokenize_udf(analyzer)
+                t = (base.where(~unsafe).select(
+                        F.col("doc_id"),
+                        sql_terms_column(analyzer.sql_kind,
+                                         F.col(fname)).alias("terms"))
+                     .unionByName(base.where(unsafe).select(
+                        F.col("doc_id"),
+                        tok(F.col(fname)).alias("terms"))))
+            else:
+                tok = tokenize_udf(analyzer)
+                t = base.select(
+                    F.col("doc_id"), tok(F.col(fname)).alias("terms"))
             parts.append(
                 t.withColumn("len_byte",
                              F.expr(length_byte_sql("size(terms)")))

@@ -102,8 +102,17 @@ class LocalSearcher:
             ids, scores = ids[live], scores[live]
         k = from_ + size
         if ids.size > k:
-            part = np.argpartition(-scores, k - 1)[:k]
-            ids, scores = ids[part], scores[part]
+            # argpartition alone picks an ARBITRARY subset of the docs
+            # tied at the k-th score; the contract (matching the Spark
+            # engine's orderBy(score desc, doc_id asc) and the
+            # reference collector, src/search/collectors/top_score.rs)
+            # is deterministic tie-break by lowest doc_id.  Partition
+            # to find the k-th score, then keep the WHOLE tie class at
+            # the boundary so the final lexsort resolves ties.
+            part = np.argpartition(-scores, k - 1)
+            thresh = scores[part[k - 1]]
+            keep = scores >= thresh
+            ids, scores = ids[keep], scores[keep]
         order = np.lexsort((ids, -scores))
         return [(int(ids[i]), float(scores[i])) for i in order][from_:k]
 
