@@ -61,11 +61,11 @@ def main() -> None:
              .config("spark.sql.files.maxPartitionBytes",
                      os.environ.get("SPARK_GRAFT_MAX_PART", "8m"))
              .config("spark.sql.files.openCostInBytes", "1m")
-             # Spark 4.1's per-row Arrow batch-size estimation
-             # (ArrowWriter.sizeInBytes walk) is quadratic in batch
-             # rows and memory-bound — smaller batches sidestep it
+             # Fat Arrow batches for the mapInArrow encoder / decode
+             # stages (the tokenizer pandas UDF that needed tiny
+             # batches no longer runs on ASCII-safe web text)
              .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                     "2048")
+                     os.environ.get("SPARK_GRAFT_ARROW_BATCH", "32768"))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory",
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

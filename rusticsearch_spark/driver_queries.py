@@ -32,8 +32,24 @@ from .similarity import bm25_sql, length_byte_sql
 # ---------------------------------------------------------------------------
 
 _CACHE_ROOT = "/tmp/rusticsearch_spark_driver_idx"
-_FIELDS = {"text": "simple", "lang": None, "source": None}
+_FIELDS = {"text": "simple", "lang": None, "source": None,
+           "doc_date": None}
+_FIELD_TYPES = {"doc_date": "date"}
 _engines: Dict[str, SearchEngine] = {}
+
+
+def _doc_date_col():
+    """Deterministic per-doc datetime, built with timezone-free
+    date/string arithmetic so Spark and DuckDB derive byte-identical
+    canonical UTC term strings regardless of session timezone:
+    day = doc_id % 90 from 2024-01-01, micros = (doc_id % 4) * 250000."""
+    return F.concat(
+        F.date_format(F.date_add(F.lit("2024-01-01").cast("date"),
+                                 (F.col("src_doc_id") % 90).cast("int")),
+                      "yyyy-MM-dd"),
+        F.lit("T00:00:00."),
+        F.lpad(((F.col("src_doc_id") % 4) * 250000).cast("string"), 6, "0"),
+        F.lit("Z"))
 
 
 def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
@@ -51,9 +67,11 @@ def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         pass
     if need_build:
         docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-                .withColumnRenamed("doc_id", "src_doc_id"))
+                .withColumnRenamed("doc_id", "src_doc_id")
+                .withColumn("doc_date", _doc_date_col()))
         build_index(spark, docs, idx_dir,
                     IndexConfig(key_col="src_doc_id", fields=dict(_FIELDS),
+                                field_types=dict(_FIELD_TYPES),
                                 n_buckets=8, tbuckets=4), jobs=1)
     eng = SearchEngine(spark, idx_dir, precision="f64",
                        cache_postings=True)
@@ -362,6 +380,35 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_fts_term_date(spark, sf_dir):
+    """Typed term query on a date field: the +03:00-offset value must
+    normalize to the UTC-canonical indexed term (term.rs:41-48,94-137
+    tz semantics via terms.canonical_term_string)."""
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"term": {
+        "doc_date": "2024-01-15T03:00:00.500000+03:00"}})
+
+
+def sql_fts_term_date():
+    # BM25 over the single-term doc_date field: tf=1, len_byte=0,
+    # stats over docs with the field present (all docs)
+    score = bm25_sql("1", "0", "df.df", "ds.d", "ds.t")
+    return """
+WITH dd AS (
+  SELECT doc_id,
+         strftime(DATE '2024-01-01' + (doc_id % 90)::INT, '%Y-%m-%d')
+         || 'T00:00:00.' || lpad(((doc_id % 4) * 250000)::VARCHAR, 6, '0')
+         || 'Z' AS v
+  FROM documents
+),
+ds AS (SELECT count(*) AS d, count(*) AS t FROM dd),
+df AS (SELECT v, count(*)::BIGINT AS df FROM dd GROUP BY 1)
+SELECT dd.doc_id, ROUND(""" + score + """, 6) AS score
+FROM dd JOIN df USING (v) CROSS JOIN ds
+WHERE dd.v = '2024-01-15T00:00:00.500000Z'
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from .ops.dedup import exact_duplicates
     return exact_duplicates(_docs(spark, sf_dir))
@@ -377,7 +424,37 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 def q_dedup_jaccard(spark, sf_dir):
     from .ops.dedup import jaccard_pairs
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # max_df=None: the unguarded quadratic path, oracle-checkable
+    # without a df-cutoff CTE; guarded variant below is the default
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, max_df=None)
+
+
+def q_dedup_jaccard_guarded(spark, sf_dir):
+    from .ops.dedup import jaccard_pairs
+    # explicit cutoff (not "auto") so the oracle applies the SAME
+    # literal; threshold lower than the unguarded row so the guard's
+    # effect on mid-frequency tokens is actually exercised
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.4, max_df=25)
+
+
+def sql_dedup_jaccard_guarded():
+    return _PRELUDE + """,
+dt0 AS (SELECT DISTINCT doc_id AS did, tok FROM toks),
+rare AS (SELECT tok FROM dt0 GROUP BY tok HAVING count(*) <= 25),
+dt AS (SELECT did, dt0.tok FROM dt0 JOIN rare ON dt0.tok = rare.tok),
+sz AS (SELECT did, count(*)::BIGINT AS sz FROM dt GROUP BY 1),
+inter AS (
+  SELECT a.did AS id_a, b.did AS id_b, count(*)::BIGINT AS i
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.did < b.did
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.did = id_a
+JOIN sz sb ON sb.did = id_b
+WHERE ROUND(i / (sa.sz + sb.sz - i)::DOUBLE, 6) >= 0.4
+"""
 
 
 def sql_dedup_jaccard():
@@ -681,12 +758,27 @@ FROM per GROUP BY 1
 
 
 def q_multimodal_stub(spark, sf_dir):
-    """Rows-only check (no SQL oracle — media features come from the
-    stubbed decode over python-rendered html payloads)."""
-    from .ops.multimodal import decode_media, media_from_webtext
-    from .synth.webtext import webtext_table
-    wt = webtext_table(spark, sf_dir)
-    return decode_media(media_from_webtext(wt))
+    """Multimodal plumbing through the real mapInPandas decode; the
+    ORACLE-CHECKED columns are the ones a stubbed codec can still
+    compute honestly (payload byte length + sha256 — DuckDB computes
+    both over the same UTF-8 bytes).  width/height/n_frames stay out
+    of the projection: they come from the documented decode stub."""
+    from .ops.multimodal import decode_media
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"))
+    return decode_media(media).select(
+        "media_id", "media_type", "n_bytes", "sha256")
+
+
+def sql_multimodal_stub():
+    return """
+SELECT doc_id::VARCHAR AS media_id, 'image' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
 
 
 QUERIES: Dict[str, Callable] = {
@@ -703,8 +795,10 @@ QUERIES: Dict[str, Callable] = {
     "fts_dis_max": q_fts_dis_max,
     "fts_term_freqs": q_fts_term_freqs,
     "fts_doc_len": q_fts_doc_len,
+    "fts_term_date": q_fts_term_date,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "ann_cosine": q_ann_cosine,
@@ -732,8 +826,10 @@ ORACLES: Dict[str, str] = {
     "fts_dis_max": sql_fts_dis_max(),
     "fts_term_freqs": sql_fts_term_freqs(),
     "fts_doc_len": sql_fts_doc_len(),
+    "fts_term_date": sql_fts_term_date(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_jaccard": sql_dedup_jaccard(),
+    "dedup_jaccard_guarded": sql_dedup_jaccard_guarded(),
     "minhash_pairs": sql_minhash_pairs(),
     "simhash": sql_simhash(),
     "ann_cosine": sql_ann_cosine(),
@@ -744,5 +840,5 @@ ORACLES: Dict[str, str] = {
     "fingerprint": sql_fingerprint(),
     "events_window": sql_events_window(),
     "events_sessionize": sql_events_sessionize(),
-    # multimodal_stub: intentionally no oracle (stubbed decode)
+    "multimodal_stub": sql_multimodal_stub(),
 }

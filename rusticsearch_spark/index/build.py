@@ -50,8 +50,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..analysis.analyzers import Analyzer, AnalyzerRegistry, parse_analysis_settings
-from .codec import BUCKET_SHIFT, SEGMENT_BITS, encode_block
-from .layout import IndexConfig, IndexLayout, term_bucket
+from .codec import (BUCKET_SHIFT, LOCAL_MASK, SEGMENT_BITS, encode_block,
+                    varbyte_encode_offsets)
+from .layout import IndexConfig, IndexLayout, term_bucket, term_bucket_col
 
 POSTINGS_SCHEMA = T.StructType([
     T.StructField("field", T.StringType()),
@@ -219,18 +220,23 @@ def _encode_partitions(tbuckets: int, pre_counted: bool = False):
     return _run
 
 
-def _encode_partitions_arrow(tbuckets: int):
+def _encode_partitions_arrow(field_names: List[str]):
     """mapInArrow encoder for the build path: zero pandas, zero
-    per-row Python objects.
+    per-row Python objects, no per-group Python loop.
 
-    Input partitions arrive sorted by (field, term, segment, doc_id)
-    with a JVM-computed ``gkey = xxhash64(field, term, segment)``;
-    group boundaries are int64 comparisons in numpy (C speed), and the
-    term/field strings are materialized once per GROUP, not per row.
-    Duplicate doc_ids within a group are the term frequency
-    (np.unique).  Collision note: a boundary is missed only if two
-    *adjacent* distinct (field, term, segment) keys share an xxhash64
-    — ~2^-64 per boundary, negligible at any corpus size.
+    Input partitions arrive sorted by (tbucket, field_ord, term,
+    segment, doc_id) with JVM-computed ``tbucket`` and ``gkey =
+    xxhash64(field_ord, term, segment)``; group (= posting block)
+    boundaries are int64 comparisons in numpy (C speed).  Duplicate
+    doc_id rows within a group ARE the term frequency (run-length —
+    the input sort makes them adjacent).  Because the input is
+    tbucket-then-term sorted, the OUTPUT blocks stream out already
+    clustered for the ``partitionBy(tbucket)`` layout write — the
+    build needs exactly ONE shuffle end to end.  ``field_names`` maps
+    the shuffled field ordinal back to the field name.  Collision
+    note: a boundary is missed only if two *adjacent* distinct keys
+    share an xxhash64 — ~2^-64 per boundary, negligible at any
+    corpus size.
     """
     import pyarrow as pa
 
@@ -244,37 +250,63 @@ def _encode_partitions_arrow(tbuckets: int):
     ])
 
     def _encode_table(tbl: "pa.Table"):
+        # caller hands a combine_chunks()ed table: single-chunk columns
+        def _arr(name):
+            return tbl.column(name).chunk(0)
+
         gk = tbl.column("gkey").to_numpy()
         doc = tbl.column("doc_id").to_numpy()
         lb = tbl.column("len_byte").to_numpy()
-        terms = tbl.column("term")
-        fields = tbl.column("field")
-        segs = tbl.column("segment").to_numpy()
+        tf = tbl.column("tf").to_numpy().astype(np.int64)
         n = len(gk)
+        # group (= block) boundaries: gkey change points.  Rows arrive
+        # as pre-counted distinct (doc, term) postings (tf counted
+        # map-side by term_tf_pairs_column), doc_id-sorted per group.
         change = np.empty(n, dtype=bool)
         change[0] = True
         np.not_equal(gk[1:], gk[:-1], out=change[1:])
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], n)
-        cols = {k: [] for k in out_schema.names}
-        for st, en in zip(starts, ends):
-            udoc, idx, tf = np.unique(doc[st:en], return_index=True,
-                                      return_counts=True)
-            ulb = lb[st:en][idx]
-            doc_b, tf_b, len_b = encode_block(udoc, tf, ulb)
-            term = terms[st].as_py()
-            cols["field"].append(fields[st].as_py())
-            cols["term"].append(term)
-            cols["segment"].append(int(segs[st]))
-            cols["tbucket"].append(term_bucket(term, tbuckets))
-            cols["df_block"].append(len(udoc))
-            cols["sum_tf"].append(int(tf.sum()))
-            cols["max_tf"].append(int(tf.max()))
-            cols["min_len"].append(int(ulb.min()))
-            cols["doc_bytes"].append(doc_b)
-            cols["tf_bytes"].append(tf_b)
-            cols["len_bytes"].append(len_b)
-        yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+        gp_starts = np.nonzero(change)[0]             # row idx per group
+        row_starts = gp_starts
+        df_block = np.diff(np.append(gp_starts, n))
+        sum_tf = np.add.reduceat(tf, gp_starts)
+        max_tf = np.maximum.reduceat(tf, gp_starts)
+        min_len = np.minimum.reduceat(lb, gp_starts)
+        # delta-encode doc ids (absolute-local at each group start;
+        # base = segment << SEGMENT_BITS == doc & ~LOCAL_MASK since a
+        # group is single-segment) in ONE varbyte pass over all
+        # postings, then slice per group via the byte offsets.
+        local = doc & np.int64(LOCAL_MASK)
+        deltas = np.empty_like(local)
+        deltas[0] = local[0]
+        np.subtract(local[1:], local[:-1], out=deltas[1:])
+        deltas[gp_starts] = local[gp_starts]
+        doc_buf, doc_off = varbyte_encode_offsets(deltas.astype(np.uint64))
+        tf_buf, tf_off = varbyte_encode_offsets(tf.astype(np.uint64))
+        len_u8 = np.clip(lb, 0, 255).astype(np.uint8)
+        doc_mem, tf_mem, len_mem = (doc_buf.tobytes(), tf_buf.tobytes(),
+                                    len_u8.tobytes())
+        gp_ends = np.append(gp_starts[1:], n)
+        d_lo, d_hi = doc_off[gp_starts], doc_off[gp_ends]
+        t_lo, t_hi = tf_off[gp_starts], tf_off[gp_ends]
+        take = pa.array(row_starts)
+        fnames = np.asarray(field_names, dtype=object)
+        ords = tbl.column("field_ord").to_numpy()[row_starts]
+        yield pa.RecordBatch.from_arrays([
+            pa.array(fnames[ords], type=pa.string()),
+            _arr("term").take(take),
+            _arr("segment").take(take),
+            _arr("tbucket").take(take),
+            pa.array(df_block.astype(np.int32)),
+            pa.array(sum_tf.astype(np.int64)),
+            pa.array(max_tf.astype(np.int32)),
+            pa.array(min_len.astype(np.int32)),
+            pa.array([doc_mem[a:b] for a, b in zip(d_lo, d_hi)],
+                     type=pa.binary()),
+            pa.array([tf_mem[a:b] for a, b in zip(t_lo, t_hi)],
+                     type=pa.binary()),
+            pa.array([len_mem[a:b] for a, b in zip(gp_starts, gp_ends)],
+                     type=pa.binary()),
+        ], schema=out_schema)
 
     def _run(batches):
         carry = None
@@ -299,22 +331,36 @@ def _encode_partitions_arrow(tbuckets: int):
 
 def _posting_rows(ids: DataFrame, config: IndexConfig,
                   registry: AnalyzerRegistry) -> DataFrame:
-    """Raw (field, term, doc_id, len_byte) occurrence rows, unioned
-    over fields.  Length quantization runs as a native SQL expression
-    (agrees exactly with the f32 reference quantization over the whole
-    realistic range — validated in tests); the explode and everything
-    after it is JVM-side whole-stage codegen.
+    """Raw (field_ord, term, doc_id, len_byte) occurrence rows,
+    unioned over fields.  Length quantization runs as a native SQL
+    expression (agrees exactly with the f32 reference quantization
+    over the whole realistic range — validated in tests); the explode
+    and everything after it is JVM-side whole-stage codegen.
+
+    The field rides as a small ordinal (position in
+    ``config.fields``), not a string: these rows feed the build's big
+    shuffles, and every Tungsten row field costs 8 aligned bytes —
+    the ordinal also compares cheaper in the sort.  The encoder maps
+    ordinals back to names.
+
+    Term frequencies are counted by a groupBy over the occurrence
+    rows: Catalyst plans it as partial hash aggregation, so duplicate
+    (doc, term) occurrences combine MAP-SIDE (whole-stage codegen)
+    and the exchange carries one row per distinct (doc, term) — ×2.3
+    fewer rows on English web text.  (A pure-expression per-doc
+    combine via sort_array + zip_with was tried and benched 3× slower:
+    higher-order functions evaluate interpreted, with no CSE.)
     """
     from ..similarity import length_byte_sql
     parts: List[DataFrame] = []
-    for fname, analyzer_name in config.fields.items():
+    for ford, (fname, analyzer_name) in enumerate(config.fields.items()):
         if analyzer_name is None:
             # PlainString: the raw value is the single term, field
             # length 1 token → len_byte 0 (= decoded length 1.0),
             # matching schema.rs:72-78 semantics.
             parts.append(
                 ids.where(F.col(fname).isNotNull()).select(
-                    F.lit(fname).alias("field"),
+                    F.lit(ford).alias("field_ord"),
                     F.col(fname).cast("string").alias("term"),
                     F.col("doc_id"),
                     F.lit(0).alias("len_byte"),
@@ -346,7 +392,7 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
                 t.withColumn("len_byte",
                              F.expr(length_byte_sql("size(terms)")))
                 .select(
-                    F.lit(fname).alias("field"),
+                    F.lit(ford).alias("field_ord"),
                     F.explode(F.col("terms")).alias("term"),
                     F.col("doc_id"),
                     F.col("len_byte"),
@@ -354,7 +400,11 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # map-side combine: partial agg dedups (doc, term) before the
+    # exchange; len_byte is constant per (doc, field) so it rides as a
+    # group key for free
+    return (out.groupBy("field_ord", "term", "doc_id", "len_byte")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf")))
 
 
 def _field_stats(spark: SparkSession, ids: DataFrame, postings_dir: str,
@@ -367,15 +417,18 @@ def _field_stats(spark: SparkSession, ids: DataFrame, postings_dir: str,
     columnar count over all fields at once); ``total_tokens`` is
     derived from the already-written compact posting blocks
     (``sum(sum_tf)`` per field) so the corpus is tokenized exactly
-    once per build.
+    once per build.  The same single postings scan also yields the
+    lineage block count — returns ``(stats_rows, n_blocks)``.
     """
     doc_counts = ids.agg(*[
         F.count(F.col(f)).alias(f) for f in config.fields]).collect()[0]
     tok_rows = (spark.read.parquet(postings_dir)
-                .groupBy("field").agg(F.sum("sum_tf").alias("t")).collect())
+                .groupBy("field").agg(F.sum("sum_tf").alias("t"),
+                                      F.count("*").alias("b")).collect())
     tok = {r.field: int(r.t) for r in tok_rows}
+    n_blocks = sum(int(r.b) for r in tok_rows)
     return [{"field": f, "total_docs": int(doc_counts[f]),
-             "total_tokens": tok.get(f, 0)} for f in config.fields]
+             "total_tokens": tok.get(f, 0)} for f in config.fields], n_blocks
 
 
 def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
@@ -448,28 +501,38 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     n_docs = ids.count()  # parquet metadata only
     _trace("docs_count")
 
-    flat = _posting_rows(ids, config, registry) \
-        .withColumn("segment",
-                    F.shiftrightunsigned("doc_id", SEGMENT_BITS)) \
-        .withColumn("gkey", F.xxhash64("field", "term", "segment"))
-    encoded = (flat
-               .repartition(shuffle_p, "field", "term", "segment")
-               .sortWithinPartitions("field", "term", "segment", "doc_id")
-               .mapInArrow(_encode_partitions_arrow(config.tbuckets),
-                           schema=POSTINGS_SCHEMA))
-    (encoded
-     .repartitionByRange(max(config.tbuckets, shuffle_p),
-                         "field", "term", "segment")
-     .sortWithinPartitions("tbucket", "field", "term", "segment")
+    # ONE shuffle end to end: hash-repartition on (field_ord, term,
+    # segment) co-locates each posting group (segment = the structural
+    # skew salt); the within-partition sort leads with the JVM-computed
+    # tbucket so the encoder streams blocks out already clustered for
+    # the partitionBy(tbucket) layout AND term-sorted within every
+    # file (parquet row-group min/max pruning on `term` stays tight).
+    # The previous layout used a second repartitionByRange over the
+    # encoded blocks — its range-boundary sampling job re-executed the
+    # whole sort+encode stage, and it re-shuffled every posting byte.
+    # segment/tbucket/gkey are derived columns computed AFTER the
+    # exchange (the repartition hashes the segment *expression*), so
+    # the shuffled row stays minimal: (field_ord, term, doc_id,
+    # len_byte) — every extra Tungsten field is 8 aligned bytes on
+    # the build's only wide shuffle.
+    flat = _posting_rows(ids, config, registry)
+    (flat
+     .repartition(shuffle_p, "field_ord", "term",
+                  F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+     .withColumn("segment", F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+     .withColumn("tbucket", term_bucket_col(F.col("term"),
+                                            config.tbuckets))
+     .withColumn("gkey", F.xxhash64("field_ord", "term", "segment"))
+     .sortWithinPartitions("tbucket", "field_ord", "term", "segment",
+                           "doc_id")
+     .mapInArrow(_encode_partitions_arrow(list(config.fields)),
+                 schema=POSTINGS_SCHEMA)
      .write.mode("overwrite").partitionBy("tbucket")
      .parquet(layout.job_dir("postings", job)))
     _trace("postings_write")
-    n_blocks = spark.read.parquet(
-        layout.job_dir("postings", job)).count()
-    _trace("postings_count")
 
-    stats_rows = _field_stats(spark, ids, layout.job_dir("postings", job),
-                              config)
+    stats_rows, n_blocks = _field_stats(
+        spark, ids, layout.job_dir("postings", job), config)
     spark.createDataFrame(stats_rows).coalesce(1).write \
         .mode("overwrite").parquet(layout.job_dir("field_stats", job))
     _trace("field_stats")

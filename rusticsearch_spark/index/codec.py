@@ -29,17 +29,23 @@ LOCAL_MASK = SEGMENT_SIZE - 1
 BUCKET_SHIFT = 40
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varbyte: 7 data bits per byte, MSB = continuation."""
+def varbyte_encode_offsets(values: np.ndarray):
+    """LEB128-style varbyte over a whole value array at once.
+
+    Returns ``(buf uint8 ndarray, offsets int64 ndarray)`` where
+    ``buf[offsets[i]:offsets[i+1]]`` is the encoding of ``values[i]``
+    — lets one vectorized pass encode MANY posting blocks (the caller
+    slices per block), instead of one Python call per block.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), offsets
     nbytes = np.ones(v.size, dtype=np.int64)
     x = v >> np.uint64(7)
     while x.any():
         nbytes += (x > 0).astype(np.int64)
         x = x >> np.uint64(7)
-    offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)
     rem = v.copy()
@@ -52,7 +58,13 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         out[idx[mask]] = byte[mask] | (cont[mask].astype(np.uint8) << 7)
         idx += 1
         mask &= cont
-    return out.tobytes()
+    return out, offsets
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte: 7 data bits per byte, MSB = continuation."""
+    buf, _ = varbyte_encode_offsets(values)
+    return buf.tobytes()
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -46,6 +46,11 @@ class IndexConfig:
     key_col: str = "url"
     fields: Dict[str, Optional[str]] = field(
         default_factory=lambda: {"text": "standard", "lang": None})
+    #: mapping-level value types for non-string fields
+    #: ("integer" | "boolean" | "date"); absent = string.  Query-side
+    #: term values normalize through the same typed canonicalization
+    #: the build applies (terms.py ↔ src/search/term.rs:27-48).
+    field_types: Dict[str, str] = field(default_factory=dict)
     stored: List[str] = field(default_factory=list)
     n_buckets: int = 32          # url-hash buckets (doc-id namespace)
     tbuckets: int = 8            # term-hash partition dirs of `postings`
@@ -66,6 +71,18 @@ def term_bucket(term: str, tbuckets: int) -> int:
     so it does not depend on Spark/Python hash seeds."""
     h = hashlib.md5(term.encode("utf-8", "surrogatepass")).digest()
     return int.from_bytes(h[:4], "big") % tbuckets
+
+
+def term_bucket_col(term_col, tbuckets: int):
+    """``term_bucket`` as a native Spark SQL Column (same md5 first-4-
+    bytes-big-endian mod), so the build computes it JVM-side inside
+    whole-stage codegen; parity with the Python form is pinned by
+    tests/test_webtext_and_build.py::test_term_bucket_sql_parity."""
+    from pyspark.sql import functions as F
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col.cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(tbuckets)).cast("int")
 
 
 def url_bucket_bytes(key: str) -> bytes:

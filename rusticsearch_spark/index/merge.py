@@ -115,10 +115,10 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
      .sortWithinPartitions("tbucket", "field", "term", "segment")
      .write.mode("overwrite").partitionBy("tbucket")
      .parquet(out.job_dir("postings", 0)))
-    n_blocks = spark.read.parquet(out.job_dir("postings", 0)).count()
 
     ids = spark.read.parquet(out.job_dir("docs", 0))
-    stats = _field_stats(spark, ids, out.job_dir("postings", 0), config)
+    stats, n_blocks = _field_stats(spark, ids,
+                                   out.job_dir("postings", 0), config)
     spark.createDataFrame(stats).coalesce(1).write.mode("overwrite") \
         .parquet(out.job_dir("field_stats", 0))
 

@@ -43,6 +43,7 @@ class FieldMapping:
     boost: float = 1.0
     store: bool = False
     include_in_all: bool = True
+    is_indexed: bool = True               # index: "no" ⇒ False (mod.rs:87)
 
     @property
     def is_analyzed(self) -> bool:
@@ -66,11 +67,10 @@ def parse_mapping(mapping_json: dict,
         if ftype not in MAPPING_TYPES:
             raise MappingParseError(f"unknown field type: {ftype!r}")
         analyzer: Optional[str]
-        if ftype != "string":
+        is_indexed = spec.get("index") != "no"
+        if ftype != "string" or not is_indexed:
             analyzer = None               # non-string: single exact term
         elif spec.get("index") == "not_analyzed":
-            analyzer = None
-        elif spec.get("index") == "no":
             analyzer = None
         else:
             # field analyzer > index_analyzer > index default
@@ -84,6 +84,7 @@ def parse_mapping(mapping_json: dict,
             # only string fields ever join _all (document.rs:100-118)
             include_in_all=(ftype == "string"
                             and bool(spec.get("include_in_all", True))),
+            is_indexed=is_indexed,
         ))
     return out
 
@@ -93,13 +94,33 @@ def mapping_to_config(fields: List[FieldMapping], key_col: str,
                       analysis_settings: Optional[dict] = None,
                       **kwargs) -> IndexConfig:
     cfg_fields: Dict[str, Optional[str]] = {}
+    field_types: Dict[str, str] = {}
     for f in fields:
+        if not f.is_indexed:
+            # index:"no" → is_indexed=false in the reference
+            # (mod.rs:87): the field must not be searchable; it stays
+            # available as a stored column only
+            continue
         cfg_fields[f.name] = f.analyzer if f.is_analyzed else None
+        if f.type != "string":
+            field_types[f.name] = f.type
     if with_all and any(f.include_in_all for f in fields):
         cfg_fields["_all"] = "standard"
     stored = [f.name for f in fields if f.store]
-    return IndexConfig(key_col=key_col, fields=cfg_fields, stored=stored,
+    return IndexConfig(key_col=key_col, fields=cfg_fields,
+                       field_types=field_types, stored=stored,
                        analysis_settings=analysis_settings, **kwargs)
+
+
+def canonical_date_col(col) -> "F.Column":
+    """Render a timestamp column as the engine's canonical UTC term
+    string (terms.canonical_term_string for type 'date').  Spark's
+    date_format renders in the SESSION timezone, so the instant is
+    first shifted such that session-tz rendering equals UTC
+    wall-clock."""
+    return F.date_format(
+        F.to_utc_timestamp(col, F.expr("current_timezone()")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
 
 
 def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
@@ -123,9 +144,7 @@ def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
             out = out.withColumn(f.name, F.col(f.name).cast("long")
                                  .cast("string"))
         elif f.type == "date":
-            out = out.withColumn(
-                f.name, F.date_format(F.col(f.name),
-                                      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+            out = out.withColumn(f.name, canonical_date_col(F.col(f.name)))
     if with_all and any(f.include_in_all for f in fields):
         parts = [F.coalesce(F.col(f.name), F.lit(""))
                  for f in fields if f.include_in_all]

@@ -63,12 +63,25 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.5,
-                  max_df: Optional[int] = None) -> DataFrame:
+                  max_df="auto") -> DataFrame:
     """Distinct-token Jaccard over all pairs via token equi-join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
     threshold, rounded to 6 dp.
+
+    ``max_df`` is the skew guard and it is ON by default: the
+    pair-generating self-join emits O(df²) rows per token, so one
+    head token ("the", df ≈ corpus size) alone is quadratic in the
+    corpus — a scale-killer on Zipfian text.  ``"auto"`` drops tokens
+    present in more than max(20, 1% of docs) documents (one count()
+    job); such tokens carry no dedup signal (they shift BOTH the
+    intersection and the union of near-identical docs).  Pass an int
+    to pin the cutoff (required for an exact cross-engine oracle), or
+    ``None`` to force the unguarded quadratic path on small corpora.
+    For large-scale near-dup detection prefer ``minhash_band_pairs``.
     """
+    if max_df == "auto":
+        max_df = max(20, -(-df.count() // 100))
     toks = _doc_tokens(df, id_col, text_col, max_df)
     sizes = toks.groupBy("did").agg(F.count("*").alias("sz"))
     a = toks.alias("a")

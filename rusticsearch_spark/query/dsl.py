@@ -131,6 +131,11 @@ class ParseContext:
     fields: dict = field(default_factory=lambda: {"text": "standard"})
     analyzers: Optional[object] = None  # AnalyzerRegistry
     score_required: bool = True
+    #: mapping-level types of non-string fields (integer|boolean|date);
+    #: term/terms values on these normalize through the typed
+    #: canonicalization (terms.py ↔ json_value_to_term,
+    #: src/api/utils.rs:63-77 + src/search/term.rs:27-48)
+    field_types: dict = field(default_factory=dict)
 
     def analyze(self, fname: str, text: str) -> List[str]:
         analyzer_name = self.fields.get(fname)
@@ -140,8 +145,23 @@ class ParseContext:
         registry = self.analyzers or AnalyzerRegistry()
         return registry.get(analyzer_name).terms(text)
 
+    def term_value(self, fname: str, v) -> str:
+        """Typed term normalization: a date query value in ANY
+        ISO-8601 offset spelling hits the UTC-canonical indexed term
+        (term.rs:94-137 tz goldens); untyped fields keep the
+        json_value_to_term stringification."""
+        ftype = self.field_types.get(fname)
+        if ftype:
+            from ..terms import canonical_term_string
+            try:
+                return canonical_term_string(ftype, v)
+            except ValueError as exc:
+                raise QueryParseError(str(exc)) from None
+        return _as_string(v)
+
     def no_score(self) -> "ParseContext":
-        return ParseContext(self.fields, self.analyzers, False)
+        return ParseContext(self.fields, self.analyzers, False,
+                            self.field_types)
 
 
 def _as_string(v) -> str:
@@ -230,7 +250,7 @@ def _parse_term(body: dict, ctx: ParseContext) -> Query:
         boost_v = float(spec.get("boost", 1.0))
     else:
         value, boost_v = spec, 1.0
-    return boost(Term(fname, _as_string(value)), boost_v)
+    return boost(Term(fname, ctx.term_value(fname, value)), boost_v)
 
 
 def _parse_terms(body: dict, ctx: ParseContext) -> Query:
@@ -242,7 +262,8 @@ def _parse_terms(body: dict, ctx: ParseContext) -> Query:
         raise QueryParseError(f"unknown field: {fname!r}")
     if not isinstance(values, list):
         raise QueryParseError("terms expects a list of values")
-    return Disjunction(tuple(Term(fname, _as_string(v)) for v in values))
+    return Disjunction(tuple(Term(fname, ctx.term_value(fname, v))
+                             for v in values))
 
 
 def _parse_prefix(body: dict, ctx: ParseContext) -> Query:

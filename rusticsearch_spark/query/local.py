@@ -91,7 +91,8 @@ class LocalSearcher:
     # -- public API ---------------------------------------------------
     def parse(self, query_json: dict) -> dsl.Query:
         ctx = dsl.ParseContext(fields=dict(self.config.fields),
-                               analyzers=self.registry)
+                               analyzers=self.registry,
+                               field_types=dict(self.config.field_types))
         return dsl.parse(query_json, ctx)
 
     def search(self, query_json: dict, size: int = 10,

@@ -32,6 +32,50 @@ def term_from_integer(value: int) -> bytes:
     return struct.pack("<q", value)
 
 
+CANONICAL_DT_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+def parse_datetime_utc(value) -> datetime:
+    """Parse an ISO-8601 / RFC-3339 value (offset or ``Z`` suffix;
+    naive = UTC, matching Term::from_datetime's UTC normalization,
+    term.rs:41-48) and return an aware UTC datetime."""
+    if isinstance(value, datetime):
+        dt = value
+    else:
+        dt = datetime.fromisoformat(str(value))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+def canonical_term_string(ftype: str, value) -> str:
+    """The engine's typed term canonicalization.
+
+    The reference encodes typed terms as bytes (term.rs:27-48:
+    booleans ``t``/``f``, integers LE-i64, datetimes LE-i64 UTC
+    micros); this engine stores one canonical STRING per value such
+    that string equality ⇔ reference byte equality (a bijection per
+    type: 'true'/'false' ↔ t/f, decimal i64 ↔ LE-i64, UTC ISO-8601
+    micros ↔ LE-i64 micros).  Both the build (mapping.prepare_docs)
+    and the query parser (dsl) must go through this one function —
+    that is what makes e.g. a ``+03:00``-offset query value hit a
+    UTC-indexed document (the term.rs:94-137 tz goldens).
+    """
+    if ftype == "boolean":
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if value in ("true", "false"):
+            return str(value)
+        raise ValueError(f"not a boolean term value: {value!r}")
+    if ftype == "integer":
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ValueError(f"not an integer term value: {value!r}")
+        return str(int(value))
+    if ftype == "date":
+        return parse_datetime_utc(value).strftime(CANONICAL_DT_FMT)
+    return str(value)
+
+
 def term_from_datetime(value: datetime) -> bytes:
     """LE i64 of ``timestamp * 1_000_000 + microseconds`` in UTC.
 

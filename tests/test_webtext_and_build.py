@@ -132,3 +132,22 @@ def test_resume_skips_committed_and_completes(spark, webtext, index_dir,
     assert report["skipped_jobs"] == [0, 1, 3]
     assert layout.completed_jobs(spark) == [0, 1, 2, 3]
     assert _logical_index(spark, path) == _logical_index(spark, index_dir)
+
+
+def test_term_bucket_sql_parity(spark):
+    """JVM term_bucket_col == Python term_bucket on varied terms."""
+    import random
+    from pyspark.sql import functions as F
+    from rusticsearch_spark.index.layout import term_bucket, term_bucket_col
+    rng = random.Random(3)
+    terms = (["the", "a", "", "don't", "3.14", "café", "日本語", "ΩΩ"]
+             + ["".join(rng.choice("abcxyz019'.é日")
+                        for _ in range(rng.randrange(1, 20)))
+                for _ in range(200)])
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    for tb in (2, 8, 1024):
+        got = {r["term"]: r["b"] for r in df.select(
+            "term", term_bucket_col(F.col("term"), tb).alias("b"))
+            .collect()}
+        for t in set(terms):
+            assert got[t] == term_bucket(t, tb), (t, tb)
