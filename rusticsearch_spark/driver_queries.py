@@ -33,7 +33,7 @@ from .similarity import bm25_sql, length_byte_sql
 
 _CACHE_ROOT = "/tmp/rusticsearch_spark_driver_idx"
 _FIELDS = {"text": "simple", "lang": None, "source": None,
-           "doc_date": None}
+           "doc_date": None, "tags": None}
 _FIELD_TYPES = {"doc_date": "date"}
 _engines: Dict[str, SearchEngine] = {}
 
@@ -68,7 +68,11 @@ def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if need_build:
         docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                 .withColumnRenamed("doc_id", "src_doc_id")
-                .withColumn("doc_date", _doc_date_col()))
+                .withColumn("doc_date", _doc_date_col())
+                # multi-valued (array-of-strings) field: tf counts
+                # duplicate items, field length = item count
+                # (mapping/mod.rs:192-227 merge semantics)
+                .withColumn("tags", F.array("lang", "source")))
         build_index(spark, docs, idx_dir,
                     IndexConfig(key_col="src_doc_id", fields=dict(_FIELDS),
                                 field_types=dict(_FIELD_TYPES),
@@ -406,6 +410,30 @@ df AS (SELECT v, count(*)::BIGINT AS df FROM dd GROUP BY 1)
 SELECT dd.doc_id, ROUND(""" + score + """, 6) AS score
 FROM dd JOIN df USING (v) CROSS JOIN ds
 WHERE dd.v = '2024-01-15T00:00:00.500000Z'
+"""
+
+
+def q_fts_term_array(spark, sf_dir):
+    """Exact term over the multi-valued ``tags`` field (array of
+    plain strings): each item is one token at the next position, so
+    field length = 2 and stats aggregate over all items."""
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"term": {"tags": "src3"}})
+
+
+def sql_fts_term_array():
+    lb2 = length_byte_sql("2")
+    score = bm25_sql("tf.tf", f"({lb2})", "dfq.df", "ds.d", "ds.t")
+    return f"""
+WITH tg AS (
+  SELECT doc_id, unnest([lang, source]) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tg GROUP BY 1, 2),
+ds AS (SELECT count(*) AS d, 2 * count(*) AS t FROM documents),
+dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, ROUND({score}, 6) AS score
+FROM tf JOIN dfq USING (tok) CROSS JOIN ds
+WHERE tf.tok = 'src3'
 """
 
 
@@ -796,6 +824,7 @@ QUERIES: Dict[str, Callable] = {
     "fts_term_freqs": q_fts_term_freqs,
     "fts_doc_len": q_fts_doc_len,
     "fts_term_date": q_fts_term_date,
+    "fts_term_array": q_fts_term_array,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
@@ -827,6 +856,7 @@ ORACLES: Dict[str, str] = {
     "fts_term_freqs": sql_fts_term_freqs(),
     "fts_doc_len": sql_fts_doc_len(),
     "fts_term_date": sql_fts_term_date(),
+    "fts_term_array": sql_fts_term_array(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_jaccard": sql_dedup_jaccard(),
     "dedup_jaccard_guarded": sql_dedup_jaccard_guarded(),

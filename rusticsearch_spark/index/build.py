@@ -115,18 +115,34 @@ def _registry(config: IndexConfig) -> AnalyzerRegistry:
 def tokenize_udf(analyzer: Analyzer):
     """text → array<string> of analyzed terms (duplicates preserved).
 
-    The ONLY Python in the indexing hot path.  Term frequencies are
-    NOT counted here — raw occurrences ride the one build shuffle and
-    numpy counts them group-at-a-time inside the encoder, which keeps
-    this UDF a pure regex+map loop (the Analyzer string-level fast
-    path) and the Arrow transfer a flat list<string> (nested
-    struct-array serialization measured ~3× slower).
+    The ONLY Python in the indexing hot path, and only for rows the
+    SQL fast path can't take (non-ASCII word characters).  Term
+    frequencies are NOT counted here — the partial aggregation after
+    explode combines them map-side.
     """
     analyze_terms = analyzer.terms
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _tok(texts: pd.Series) -> pd.Series:
         return pd.Series([analyze_terms(t) for t in texts])
+
+    return _tok
+
+
+def tokenize_array_udf(analyzer: Analyzer):
+    """array<string> → analyzed terms of every non-null item,
+    concatenated in item order — the reference's multi-valued field
+    merge (/root/reference/src/mapping/mod.rs:192-227: each item's
+    tokens appended with offset positions; with tf+length storage the
+    observable result is summed tf and total token count)."""
+    analyze_terms = analyzer.terms
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(arrs: pd.Series) -> pd.Series:
+        return pd.Series([
+            [t for item in (a if a is not None else [])
+             if item is not None for t in analyze_terms(item)]
+            for a in arrs])
 
     return _tok
 
@@ -352,9 +368,12 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
     higher-order functions evaluate interpreted, with no CSE.)
     """
     from ..similarity import length_byte_sql
+    array_fields = {f.name for f in ids.schema.fields
+                    if isinstance(f.dataType, T.ArrayType)}
     parts: List[DataFrame] = []
     for ford, (fname, analyzer_name) in enumerate(config.fields.items()):
-        if analyzer_name is None:
+        is_array = fname in array_fields
+        if analyzer_name is None and not is_array:
             # PlainString: the raw value is the single term, field
             # length 1 token → len_byte 0 (= decoded length 1.0),
             # matching schema.rs:72-78 semantics.
@@ -365,38 +384,63 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
                     F.col("doc_id"),
                     F.lit(0).alias("len_byte"),
                 ))
-        else:
-            analyzer = registry.get(analyzer_name)
-            base = ids.where(F.col(fname).isNotNull())
-            if analyzer.sql_kind:
-                # SQL fast path for safe rows, pandas UDF for the rest.
-                # Split into two frames (not one when()): Spark
-                # evaluates a pandas UDF in its own ArrowEvalPython
-                # node for EVERY row regardless of the branch, so a
-                # conditional projection would still pay the Python
-                # hop for the whole corpus.
-                unsafe = F.col(fname).rlike(SQL_UNSAFE_CHAR)
-                tok = tokenize_udf(analyzer)
-                t = (base.where(~unsafe).select(
-                        F.col("doc_id"),
-                        sql_terms_column(analyzer.sql_kind,
-                                         F.col(fname)).alias("terms"))
-                     .unionByName(base.where(unsafe).select(
-                        F.col("doc_id"),
-                        tok(F.col(fname)).alias("terms"))))
-            else:
-                tok = tokenize_udf(analyzer)
-                t = base.select(
-                    F.col("doc_id"), tok(F.col(fname)).alias("terms"))
+            continue
+        if analyzer_name is None:
+            # array of plain strings: every non-null item is one term
+            # at the next position (mapping/mod.rs:192-227) → tf per
+            # duplicate item, field length = item count
+            arr = F.filter(F.col(fname), lambda x: x.isNotNull())
             parts.append(
-                t.withColumn("len_byte",
-                             F.expr(length_byte_sql("size(terms)")))
+                ids.where(F.col(fname).isNotNull())
+                .select(F.col("doc_id"), arr.alias("items"))
+                .where(F.size("items") > 0)
+                .withColumn("len_byte",
+                            F.expr(length_byte_sql("size(items)")))
                 .select(
                     F.lit(ford).alias("field_ord"),
-                    F.explode(F.col("terms")).alias("term"),
+                    F.explode("items").alias("term"),
                     F.col("doc_id"),
                     F.col("len_byte"),
                 ))
+            continue
+        analyzer = registry.get(analyzer_name)
+        base = ids.where(F.col(fname).isNotNull())
+        if is_array:
+            items = F.filter(F.col(fname), lambda x: x.isNotNull())
+            sql_col = (F.flatten(F.transform(
+                items, lambda x: sql_terms_column(analyzer.sql_kind, x)))
+                if analyzer.sql_kind else None)
+            unsafe = F.exists(F.col(fname),
+                              lambda x: x.rlike(SQL_UNSAFE_CHAR))
+            tok = tokenize_array_udf(analyzer)
+        else:
+            sql_col = (sql_terms_column(analyzer.sql_kind, F.col(fname))
+                       if analyzer.sql_kind else None)
+            unsafe = F.col(fname).rlike(SQL_UNSAFE_CHAR)
+            tok = tokenize_udf(analyzer)
+        if sql_col is not None:
+            # SQL fast path for safe rows, pandas UDF for the rest.
+            # Split into two frames (not one when()): Spark evaluates
+            # a pandas UDF in its own ArrowEvalPython node for EVERY
+            # row regardless of the branch, so a conditional
+            # projection would still pay the Python hop for the whole
+            # corpus.
+            t = (base.where(~unsafe).select(
+                    F.col("doc_id"), sql_col.alias("terms"))
+                 .unionByName(base.where(unsafe).select(
+                    F.col("doc_id"), tok(F.col(fname)).alias("terms"))))
+        else:
+            t = base.select(
+                F.col("doc_id"), tok(F.col(fname)).alias("terms"))
+        parts.append(
+            t.withColumn("len_byte",
+                         F.expr(length_byte_sql("size(terms)")))
+            .select(
+                F.lit(ford).alias("field_ord"),
+                F.explode(F.col("terms")).alias("term"),
+                F.col("doc_id"),
+                F.col("len_byte"),
+            ))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

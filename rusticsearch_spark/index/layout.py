@@ -51,6 +51,10 @@ class IndexConfig:
     #: term values normalize through the same typed canonicalization
     #: the build applies (terms.py ↔ src/search/term.rs:27-48).
     field_types: Dict[str, str] = field(default_factory=dict)
+    #: query-side analyzer overrides (search_analyzer ≠ index
+    #: analyzer, mapping/mod.rs:161-166); absent field = same analyzer
+    #: both sides
+    search_analyzers: Dict[str, str] = field(default_factory=dict)
     stored: List[str] = field(default_factory=list)
     n_buckets: int = 32          # url-hash buckets (doc-id namespace)
     tbuckets: int = 8            # term-hash partition dirs of `postings`

@@ -39,7 +39,11 @@ MAPPING_TYPES = {"string", "integer", "boolean", "date"}
 class FieldMapping:
     name: str
     type: str = "string"                  # mapping-level type
-    analyzer: Optional[str] = "standard"  # None ⇒ not_analyzed
+    analyzer: Optional[str] = "standard"  # index side; None ⇒ not_analyzed
+    #: query-side analyzer when it differs from the index side
+    #: (mod.rs:161-166 FieldSearchOptions, consumed by
+    #: query_parser/match_query.rs:36-44); None ⇒ same as `analyzer`
+    search_analyzer: Optional[str] = None
     boost: float = 1.0
     store: bool = False
     include_in_all: bool = True
@@ -67,18 +71,25 @@ def parse_mapping(mapping_json: dict,
         if ftype not in MAPPING_TYPES:
             raise MappingParseError(f"unknown field type: {ftype!r}")
         analyzer: Optional[str]
+        search_analyzer: Optional[str] = None
         is_indexed = spec.get("index") != "no"
         if ftype != "string" or not is_indexed:
             analyzer = None               # non-string: single exact term
         elif spec.get("index") == "not_analyzed":
             analyzer = None
         else:
-            # field analyzer > index_analyzer > index default
-            analyzer = (spec.get("analyzer")
-                        or spec.get("index_analyzer")
+            # per side: specific key > base "analyzer" > index default
+            # (mapping/build.rs:40-82)
+            base = spec.get("analyzer")
+            analyzer = (spec.get("index_analyzer") or base
                         or default_analyzer)
+            search_analyzer = (spec.get("search_analyzer") or base
+                               or default_analyzer)
+            if search_analyzer == analyzer:
+                search_analyzer = None    # no override needed
         out.append(FieldMapping(
             name=name, type=ftype, analyzer=analyzer,
+            search_analyzer=search_analyzer,
             boost=float(spec.get("boost", 1.0)),
             store=bool(spec.get("store", False)),
             # only string fields ever join _all (document.rs:100-118)
@@ -95,6 +106,7 @@ def mapping_to_config(fields: List[FieldMapping], key_col: str,
                       **kwargs) -> IndexConfig:
     cfg_fields: Dict[str, Optional[str]] = {}
     field_types: Dict[str, str] = {}
+    search_analyzers: Dict[str, str] = {}
     for f in fields:
         if not f.is_indexed:
             # index:"no" → is_indexed=false in the reference
@@ -102,13 +114,16 @@ def mapping_to_config(fields: List[FieldMapping], key_col: str,
             # available as a stored column only
             continue
         cfg_fields[f.name] = f.analyzer if f.is_analyzed else None
+        if f.is_analyzed and f.search_analyzer:
+            search_analyzers[f.name] = f.search_analyzer
         if f.type != "string":
             field_types[f.name] = f.type
     if with_all and any(f.include_in_all for f in fields):
         cfg_fields["_all"] = "standard"
     stored = [f.name for f in fields if f.store]
     return IndexConfig(key_col=key_col, fields=cfg_fields,
-                       field_types=field_types, stored=stored,
+                       field_types=field_types,
+                       search_analyzers=search_analyzers, stored=stored,
                        analysis_settings=analysis_settings, **kwargs)
 
 

@@ -136,9 +136,14 @@ class ParseContext:
     #: canonicalization (terms.py ↔ json_value_to_term,
     #: src/api/utils.rs:63-77 + src/search/term.rs:27-48)
     field_types: dict = field(default_factory=dict)
+    #: query-side analyzer overrides (mapping/mod.rs:161-166 via
+    #: FieldSearchOptions → match_query.rs:36-44): e.g. an edge-ngram
+    #: INDEX analyzer paired with a plain SEARCH analyzer
+    search_analyzers: dict = field(default_factory=dict)
 
     def analyze(self, fname: str, text: str) -> List[str]:
-        analyzer_name = self.fields.get(fname)
+        analyzer_name = self.search_analyzers.get(
+            fname, self.fields.get(fname))
         if analyzer_name is None:
             return [text]
         from ..analysis.analyzers import AnalyzerRegistry
@@ -161,7 +166,7 @@ class ParseContext:
 
     def no_score(self) -> "ParseContext":
         return ParseContext(self.fields, self.analyzers, False,
-                            self.field_types)
+                            self.field_types, self.search_analyzers)
 
 
 def _as_string(v) -> str:

@@ -201,7 +201,9 @@ class SearchEngine:
     def parse(self, query_json: dict) -> dsl.Query:
         ctx = dsl.ParseContext(fields=dict(self.config.fields),
                                analyzers=self.registry,
-                               field_types=dict(self.config.field_types))
+                               field_types=dict(self.config.field_types),
+                               search_analyzers=dict(
+                                   self.config.search_analyzers))
         return dsl.parse(query_json, ctx)
 
     def search(self, query_json: dict, size: int = 10, from_: int = 0,

@@ -92,7 +92,9 @@ class LocalSearcher:
     def parse(self, query_json: dict) -> dsl.Query:
         ctx = dsl.ParseContext(fields=dict(self.config.fields),
                                analyzers=self.registry,
-                               field_types=dict(self.config.field_types))
+                               field_types=dict(self.config.field_types),
+                               search_analyzers=dict(
+                                   self.config.search_analyzers))
         return dsl.parse(query_json, ctx)
 
     def search(self, query_json: dict, size: int = 10,

@@ -36,14 +36,22 @@ def test_parse_mapping_types_and_flags():
 
 
 def test_parse_mapping_analyzer_precedence():
-    # field analyzer > index_analyzer > default (mapping/build.rs)
+    # per side: specific key > base "analyzer" > default
+    # (mapping/build.rs:40-82: index_analyzer overrides the base
+    # analyzer for the index side, search_analyzer for the query side)
     fields = parse_mapping({"properties": {
         "a": {"type": "string", "analyzer": "x", "index_analyzer": "y"},
         "b": {"type": "string", "index_analyzer": "y"},
         "c": {"type": "string"},
+        "d": {"type": "string", "analyzer": "x",
+              "search_analyzer": "z"},
     }}, default_analyzer="std")
     by = {f.name: f.analyzer for f in fields}
-    assert by == {"a": "x", "b": "y", "c": "std"}
+    assert by == {"a": "y", "b": "y", "c": "std", "d": "x"}
+    sa = {f.name: f.search_analyzer for f in fields}
+    # a: search side falls back to base "x" (differs from index "y");
+    # b: search side falls back to the DEFAULT (differs from "y")
+    assert sa == {"a": "x", "b": "std", "c": None, "d": "z"}
 
 
 def test_parse_mapping_rejects_unknown_type():
@@ -119,3 +127,54 @@ def test_cluster_end_to_end(spark, webtext, tmp_path):
     cluster.delete_index("pages")
     with pytest.raises(NameRegistryError):
         cluster.count("web")
+
+
+def test_search_analyzer_distinct_from_index_analyzer(spark, tmp_path):
+    """mapping/mod.rs:161-166 via match_query.rs:36-44: edge-ngram
+    INDEX analyzer + plain SEARCH analyzer (autocomplete).  The query
+    text must be analyzed with the search analyzer only — if it went
+    through the index analyzer, 'spar' would expand to s/sp/spa/spar
+    and match every document."""
+    from rusticsearch_spark.cluster import Cluster
+    settings = {"analysis": {
+        "filter": {"eg": {"type": "edge_ngram",
+                          "min_gram": 1, "max_gram": 10}},
+        "analyzer": {"autocomplete": {
+            "type": "custom", "tokenizer": "standard",
+            "filter": ["lowercase", "eg"]}},
+    }}
+    docs = spark.createDataFrame(
+        [("a", "Spark engine"), ("b", "sparse matrix"), ("c", "postgres")],
+        "k string, name string")
+    c = Cluster(spark, str(tmp_path / "cl_sa"))
+    c.create_index("items", {"properties": {
+        "name": {"type": "string", "index_analyzer": "autocomplete",
+                 "search_analyzer": "standard"}}}, key_col="k")
+    c.bulk("items", docs, key_col="k", n_buckets=2, tbuckets=2,
+           shuffle_partitions=2, with_all=False,
+           analysis_settings=settings)
+    got = {h["key"] for h in c.search(
+        "items", {"match": {"name": "spar"}}, size=10)}
+    assert got == {"a", "b"}
+    # full-word search still works through the same override
+    assert c.count("items", {"match": {"name": "postgres"}}) == 1
+
+
+def test_index_no_field_not_searchable(spark, tmp_path):
+    """index:'no' → is_indexed=false (mod.rs:87): the field is stored
+    but carries no postings and rejects queries."""
+    from rusticsearch_spark.cluster import Cluster
+    from rusticsearch_spark.query.dsl import QueryParseError
+    import pytest as _pytest
+    docs = spark.createDataFrame(
+        [("a", "hello", "secret")], "k string, body string, raw string")
+    c = Cluster(spark, str(tmp_path / "cl_no"))
+    c.create_index("pages", {"properties": {
+        "body": {"type": "string"},
+        "raw": {"type": "string", "index": "no", "store": True}}},
+        key_col="k")
+    c.bulk("pages", docs, key_col="k", n_buckets=2, tbuckets=2,
+           shuffle_partitions=2)
+    with _pytest.raises(QueryParseError):
+        c.search("pages", {"term": {"raw": "secret"}})
+    assert c.count("pages", {"match": {"body": "hello"}}) == 1
