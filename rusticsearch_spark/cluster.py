@@ -130,12 +130,17 @@ class Cluster:
         return self._engines[index]
 
     def search(self, name: str, query_json: dict, size: int = 10,
-               from_: int = 0) -> List[dict]:
+               from_: int = 0,
+               fields: Optional[List[str]] = None) -> List[dict]:
         """Hits across the name/alias target; multi-index results are
-        merged by score (alias search semantics)."""
+        merged by score (alias search semantics).  ``fields`` returns
+        stored field values per hit (the `fields` URL parameter,
+        search_api.rs:93-105)."""
         hits: List[dict] = []
         for index in self.registry.resolve(name):
-            for h in self.engine(index).hits(query_json, size=size + from_):
+            for h in self.engine(index).hits(query_json,
+                                             size=size + from_,
+                                             fields=fields):
                 hits.append({**h, "_index": index})
         hits.sort(key=lambda h: (-h["score"], h["key"]))
         return hits[from_:from_ + size]

@@ -340,17 +340,23 @@ def q_fts_doc_len(spark, sf_dir):
     eng = get_engine(spark, sf_dir)
 
     def _decode(batches):
+        import numpy as np
         for pdf in batches:
-            rows = []
+            # block arrays concatenate once per Arrow batch — never
+            # per-posting Python tuples
+            ids, tfs, lens = [], [], []
             for r in pdf.itertuples(index=False):
-                doc_ids, tfs, lens = decode_block(
+                d, t, l = decode_block(
                     r.segment, r.doc_bytes, r.tf_bytes, r.len_bytes)
-                for d, t, l in zip(doc_ids.tolist(), tfs.tolist(),
-                                   lens.tolist()):
-                    rows.append((d, t, l))
-            if rows:
-                yield pd.DataFrame(rows,
-                                   columns=["doc_id", "tf", "len_byte"])
+                ids.append(d)
+                tfs.append(t)
+                lens.append(l)
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "len_byte": np.concatenate(lens).astype(np.int32),
+                })
 
     per_doc = (eng.postings.where(F.col("field") == "text")
                .select("segment", "doc_bytes", "tf_bytes", "len_bytes")
@@ -620,6 +626,97 @@ FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+_RH_NBITS, _RH_DIM = 4, 64
+
+
+def _sql_plane_bit(plane, i):
+    dot = " + ".join(f"({c})*embedding[{j + 1}]::DOUBLE"
+                     for j, c in enumerate(plane))
+    return f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)"
+
+
+def q_ann_rh(spark, sf_dir):
+    """Random-hyperplane sign-LSH ANN, two hash tables probed then
+    exact cosine re-rank — the recall-safe variant of ann_lsh
+    (leading-dim signs skew on correlated embedding dimensions)."""
+    from .ops.similarity import ann_topk_hyperplane
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).first().embedding
+    return ann_topk_hyperplane(emb.where(F.col("vec_id") != 0),
+                               list(qvec), k=10, nbits=_RH_NBITS,
+                               tables=2)
+
+
+def sql_ann_rh():
+    from .ops.similarity import lcg_planes
+    conds = []
+    for t in range(2):
+        planes = lcg_planes(_RH_NBITS, _RH_DIM, seed=0x5DEECE66D + 7919 * t)
+        bucket = " + ".join(_sql_plane_bit(p, i)
+                            for i, p in enumerate(planes))
+        qbucket = " + ".join(
+            _sql_plane_bit(p, i).replace("embedding[", "q.e[")
+            for i, p in enumerate(planes))
+        conds.append(f"(({bucket}) = ({qbucket}))")
+    return f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT v.vec_id, v.embedding, q.e
+  FROM embeddings v CROSS JOIN q
+  WHERE v.vec_id <> 0 AND ({conds[0]} OR {conds[1]})
+),
+pairs AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS a, unnest(e)::DOUBLE AS b
+  FROM cand
+),
+dots AS (
+  SELECT vec_id, SUM(a * b) AS dot,
+         SQRT(SUM(a * a)) AS na, SQRT(SUM(b * b)) AS nb
+  FROM pairs GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (na * nb), 6) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup detection: hyperplane-bucket join + exact
+    cosine verify inside buckets."""
+    from .ops.dedup import embedding_near_dups
+    from .ops.similarity import lcg_planes
+    # the synthetic embeddings top out near cos 0.51 — 0.4 yields a
+    # non-trivial pair set for the value-hash comparison
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4,
+                               planes=lcg_planes(_RH_NBITS, _RH_DIM))
+
+
+def sql_dedup_embedding():
+    from .ops.similarity import lcg_planes
+    planes = lcg_planes(_RH_NBITS, _RH_DIM)
+    bucket = " + ".join(_sql_plane_bit(p, i) for i, p in enumerate(planes))
+    return f"""
+WITH keyed AS (
+  SELECT vec_id AS did, embedding AS v, ({bucket}) AS bkt
+  FROM embeddings
+),
+cand AS (
+  SELECT a.did AS id_a, b.did AS id_b, a.v AS va, b.v AS vb
+  FROM keyed a JOIN keyed b ON a.bkt = b.bkt AND a.did < b.did
+),
+pairs AS (
+  SELECT id_a, id_b, unnest(va)::DOUBLE AS x, unnest(vb)::DOUBLE AS y
+  FROM cand
+),
+dots AS (
+  SELECT id_a, id_b, SUM(x * y) AS dot,
+         SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS cos
+FROM dots WHERE ROUND(dot / (na * nb), 6) >= 0.4
+"""
+
+
 def q_text_quality(spark, sf_dir):
     from .ops.text_stats import quality_score
     return quality_score(_docs(spark, sf_dir))
@@ -832,6 +929,8 @@ QUERIES: Dict[str, Callable] = {
     "simhash": q_simhash,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_rh": q_ann_rh,
+    "dedup_embedding": q_dedup_embedding,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
@@ -864,6 +963,8 @@ ORACLES: Dict[str, str] = {
     "simhash": sql_simhash(),
     "ann_cosine": sql_ann_cosine(),
     "ann_lsh": sql_ann_lsh(),
+    "ann_rh": sql_ann_rh(),
+    "dedup_embedding": sql_dedup_embedding(),
     "text_quality": sql_text_quality(),
     "lang_id": sql_lang_id(),
     "token_count": sql_token_count(),

@@ -129,6 +129,39 @@ class IndexLayout:
             .select("job").distinct().collect()
         return sorted(r.job for r in rows)
 
+    def completed_jobs_local(self) -> List[int]:
+        """``completed_jobs`` without a SparkSession (pyarrow read) —
+        for LocalSearcher and other driver-side readers."""
+        import pyarrow.parquet as pq
+        root = self.table("lineage")
+        if not os.path.isdir(root):
+            return []
+        out: List[int] = []
+        for d in os.listdir(root):
+            if not d.startswith("job="):
+                continue
+            path = os.path.join(root, d)
+            try:
+                tbl = pq.read_table(path, columns=["status"])
+            except Exception:
+                continue
+            if "done" in tbl.column("status").to_pylist():
+                out.append(int(d.split("=", 1)[1]))
+        return sorted(out)
+
+    def committed_dirs(self, name: str,
+                       spark: Optional[SparkSession] = None) -> List[str]:
+        """Data directories of COMMITTED jobs only.  Readers must
+        resolve job dirs through lineage, never by globbing ``job=*``:
+        during a partial merge the merged job's data lands on disk
+        before its sources retire, and a crashed job may leave data
+        with no lineage row — globbing would double-count or read
+        uncommitted docs."""
+        jobs = (self.completed_jobs(spark) if spark is not None
+                else self.completed_jobs_local())
+        return [self.job_dir(name, j) for j in jobs
+                if os.path.isdir(self.job_dir(name, j))]
+
     def lineage(self, spark: SparkSession) -> Optional[DataFrame]:
         path = self.table("lineage")
         if not os.path.isdir(path) or not os.listdir(path):

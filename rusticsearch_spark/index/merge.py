@@ -170,21 +170,22 @@ def select_merge_candidates(job_sizes: Dict[int, int],
 
 def maintenance(spark: SparkSession, index_dir: str,
                 max_jobs: Optional[int] = None,
-                min_candidates: int = 3) -> Optional[str]:
+                min_candidates: int = 3):
     """Merge-policy loop body (the reference's 1 Hz maintenance
     thread, src/main.rs:64-84): apply the size-tiered policy to the
     accumulated job directories; if a merge is due, compact the
     selected jobs into a new generation and atomically swap via
     rename.  ``max_jobs`` forces a full compaction when the job count
     exceeds it regardless of tiering.  Returns the retired generation
-    path, or None if nothing merged."""
+    path (full compaction), the new job id (partial merge), or None
+    if nothing merged."""
     layout = IndexLayout(index_dir)
     lineage = layout.lineage(spark)
     if lineage is None:
         return None
-    sizes = {r.job: int(r.n_docs) for r in
-             lineage.where("status = 'done'")
-             .select("job", "n_docs").collect() if r.n_docs}
+    done_rows = lineage.where("status = 'done'") \
+        .select("job", "n_docs").collect()
+    sizes = {r.job: int(r.n_docs) for r in done_rows if r.n_docs}
     if max_jobs is not None and len(sizes) > max_jobs:
         selected = sorted(sizes)
     else:
@@ -199,19 +200,25 @@ def maintenance(spark: SparkSession, index_dir: str,
         os.rename(gen_tmp, index_dir)
         return retired
     # partial merge: compact the selected jobs into one new job dir
-    # inside the SAME index (two-phase: data first, lineage commit
-    # last, then retire the source job dirs)
+    # inside the SAME index.  The id must be fresh across ALL lineage
+    # rows — `sizes` drops zero-doc jobs (empty streaming batches),
+    # whose ids are nonetheless taken.
     row = merge_jobs(spark, index_dir, gen_tmp, jobs=selected)
-    new_job = max(sizes) + 1
-    for name in ("docs", "postings", "field_stats", "lineage"):
+    new_job = max((r.job for r in done_rows), default=-1) + 1
+    # two-phase visibility swap (readers resolve job dirs via
+    # COMMITTED lineage — layout.committed_dirs):
+    #   1. merged DATA in place, lineage not yet committed
+    #      (invisible);
+    #   2. retire source lineage (a concurrent reader now sees fewer
+    #      docs, never duplicates);
+    #   3. commit the merged job's lineage row LAST (activate);
+    #   4. delete retired source data.
+    # The filesystem analogue of the reference's single-batch
+    # activate/deactivate, segment_ops.rs:270-289.
+    for name in ("docs", "postings", "field_stats"):
         src = IndexLayout(gen_tmp).job_dir(name, 0)
         if os.path.isdir(src):
             os.rename(src, layout.job_dir(name, new_job))
-    # swap visibility: deactivate sources first, then activate the
-    # merged job (readers resolve jobs via lineage; a reader in the
-    # gap sees fewer docs, never duplicates — the closest filesystem
-    # analogue of the reference's single-batch activate/deactivate,
-    # segment_ops.rs:270-289)
     for j in selected:
         shutil.rmtree(layout.job_dir("lineage", j), ignore_errors=True)
     layout.commit_job(spark, {**row, "job": new_job})
@@ -221,4 +228,4 @@ def maintenance(spark: SparkSession, index_dir: str,
             if os.path.isdir(p):
                 shutil.rmtree(p)
     shutil.rmtree(gen_tmp, ignore_errors=True)
-    return gen_tmp
+    return new_job

@@ -44,6 +44,11 @@ class FieldMapping:
     #: (mod.rs:161-166 FieldSearchOptions, consumed by
     #: query_parser/match_query.rs:36-44); None ⇒ same as `analyzer`
     search_analyzer: Optional[str] = None
+    #: parsed + round-tripped but NOT applied at search time — exact
+    #: parity with the reference, which parses mapping-level boost
+    #: into FieldMapping (mod.rs:92,135) and never consumes it in any
+    #: query path (only query-level boost, match_query.rs:72-73, is
+    #: live)
     boost: float = 1.0
     store: bool = False
     include_in_all: bool = True

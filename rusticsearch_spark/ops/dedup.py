@@ -171,15 +171,21 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        nbits: int = 8) -> DataFrame:
+                        nbits: int = 8,
+                        planes: Optional[list] = None) -> DataFrame:
     """Near-duplicate vectors: sign-LSH bucket join, exact cosine
     verify inside buckets.  Output (id_a, id_b, cos) with cos ≥
     threshold.  The bucket key bounds the join fan-out; at scale
-    raise ``nbits``."""
-    from .similarity import cosine_expr, sign_bucket_expr
+    raise ``nbits`` and pass ``planes`` (random ±1 hyperplanes via
+    ``similarity.lcg_planes``) — leading-dimension signs skew badly
+    on real embeddings where dimensions are correlated."""
+    from .similarity import (cosine_expr, hyperplane_bucket_expr,
+                             sign_bucket_expr)
+    bucket = (hyperplane_bucket_expr(vec_col, planes) if planes
+              else sign_bucket_expr(vec_col, nbits))
     keyed = df.select(F.col(id_col).alias("did"),
                       F.col(vec_col).alias("v"),
-                      sign_bucket_expr(vec_col, nbits).alias("bkt"))
+                      bucket.alias("bkt"))
     a = keyed.select(F.col("did").alias("id_a"), F.col("v").alias("va"),
                      "bkt")
     b = keyed.select(F.col("did").alias("id_b"), F.col("v").alias("vb"),

@@ -43,12 +43,64 @@ def cosine_expr(a: str, b: str) -> Column:
 
 def sign_bucket_expr(vec_col: str, nbits: int = 8) -> Column:
     """LSH bucket = bits of sign(v[0..nbits)) — deterministic, cheap,
-    and SQL-portable (no random hyperplanes to ship)."""
+    and SQL-portable (no random hyperplanes to ship).
+
+    Caveat at scale: real embedding dimensions are correlated, so
+    leading-dim signs skew the bucket distribution (a few buckets
+    hold most vectors).  Prefer :func:`hyperplane_bucket_expr` —
+    pseudo-random ±1 hyperplanes mix every dimension into every bit.
+    """
     bucket = F.lit(0)
     for i in range(nbits):
         bit = F.when(F.element_at(F.col(vec_col), i + 1) >= 0, 1).otherwise(0)
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
+
+
+def lcg_planes(nbits: int, dim: int, seed: int = 0x5DEECE66D) -> List[List[int]]:
+    """Deterministic ±1 hyperplanes from a 64-bit LCG — pure-Python so
+    the SAME literal coefficients can be inlined into both the Spark
+    expression and an ANSI-SQL oracle (no library RNG dependency)."""
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    planes: List[List[int]] = []
+    for _ in range(nbits):
+        row: List[int] = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) \
+                % (1 << 64)
+            row.append(1 if (x >> 63) else -1)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket_expr(vec_col: str,
+                           planes: List[List[int]]) -> Column:
+    """Sign-LSH bucket over explicit hyperplanes: bit i =
+    sign(planes[i] · v).  ±1 integer coefficients keep every product
+    exact in double, so a double-precision SQL oracle computes the
+    identical signs."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(float(c)) for c in plane]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.shiftleft(
+            F.when(dot >= 0, 1).otherwise(0), i)
+    return bucket
+
+
+def hyperplane_bucket_py(vec, planes: List[List[int]]) -> int:
+    """Driver-side bucket of a query vector (same math)."""
+    b = 0
+    for i, plane in enumerate(planes):
+        dot = 0.0
+        for x, c in zip(vec, plane):
+            dot += float(x) * float(c)
+        if dot >= 0:
+            b |= 1 << i
+    return b
 
 
 def cosine_topk(df: DataFrame, query_vec: List[float], k: int = 10,
@@ -78,3 +130,27 @@ def ann_topk_lsh(df: DataFrame, query_vec: List[float], k: int = 10,
             qbucket |= 1 << i
     pruned = df.where(sign_bucket_expr(vec_col, nbits) == qbucket)
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def ann_topk_hyperplane(df: DataFrame, query_vec: List[float],
+                        k: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding", nbits: int = 8,
+                        tables: int = 1,
+                        seed: int = 0x5DEECE66D) -> DataFrame:
+    """Approximate top-k with random-hyperplane sign-LSH.
+
+    ``tables`` independent hash tables (distinct seeds) are probed and
+    their candidate buckets unioned before the exact cosine re-rank —
+    the standard recall lever: a true neighbour is missed only if it
+    falls outside the query's bucket in EVERY table.  Per-table
+    candidate sets stay bucket-sized, so the scan cost is
+    ``tables × corpus/2^nbits`` instead of the full corpus.
+    """
+    dim = len(query_vec)
+    cond = None
+    for t in range(tables):
+        planes = lcg_planes(nbits, dim, seed=seed + 7919 * t)
+        qb = hyperplane_bucket_py(query_vec, planes)
+        c = hyperplane_bucket_expr(vec_col, planes) == qb
+        cond = c if cond is None else (cond | c)
+    return cosine_topk(df.where(cond), query_vec, k, id_col, vec_col)

@@ -171,13 +171,23 @@ class SearchEngine:
                 self.config.analysis_settings)
         else:
             self.registry = AnalyzerRegistry()
-        self.postings = spark.read.parquet(self.layout.table("postings"))
-        self.docs = spark.read.parquet(self.layout.table("docs"))
+        # resolve job dirs through COMMITTED lineage, never job=* glob:
+        # a partial merge writes the merged job's data before retiring
+        # its sources, and a crashed job may leave data without a
+        # lineage row — globbing would double-count docs/df in that
+        # window (segment_ops.rs:270-289 activate/deactivate batch)
+        def _read(name: str) -> DataFrame:
+            dirs = self.layout.committed_dirs(name, spark)
+            return (spark.read.option("basePath", self.layout.table(name))
+                    .parquet(*dirs))
+
+        self.postings = _read("postings")
+        self.docs = _read("docs")
         if cache_postings:
             # serving mode: pin the (compressed, small relative to the
             # corpus) block table in memory across queries
             self.postings = self.postings.cache()
-        stats = spark.read.parquet(self.layout.table("field_stats")) \
+        stats = _read("field_stats") \
             .groupBy("field").agg(F.sum("total_docs").alias("d"),
                                   F.sum("total_tokens").alias("t")).collect()
         # global per-field stats, memoized for the engine's lifetime
@@ -222,15 +232,31 @@ class SearchEngine:
             out = out.offset(from_)
         return out.limit(size)
 
-    def hits(self, query_json: dict, size: int = 10,
-             from_: int = 0) -> List[dict]:
-        """Collected hits with the document key (search_api.rs:124-151)."""
+    def hits(self, query_json: dict, size: int = 10, from_: int = 0,
+             fields: Optional[List[str]] = None) -> List[dict]:
+        """Collected hits with the document key (search_api.rs:124-151).
+
+        ``fields`` mirrors the reference's ``fields`` URL parameter
+        (search_api.rs:93-105,125-137): each requested stored field is
+        returned per hit as a singleton list ([] when null); unknown
+        field names are skipped (the reference warns and continues).
+        The reference half-wires the response ("fields": "FIXME",
+        search_api.rs:141) — this is the functional completion.
+        """
         top = self.search(query_json, size=size, from_=from_)
         key = self.config.key_col
-        joined = (top.join(self.docs.select("doc_id", key), "doc_id")
+        known = [f for f in (fields or []) if f in self.docs.columns]
+        cols = ["doc_id", key] + [f for f in known if f != key]
+        joined = (top.join(self.docs.select(*cols), "doc_id")
                   .orderBy(F.desc("score"), F.asc("doc_id")).collect())
-        return [{"key": r[key], "doc_id": r.doc_id, "score": r.score}
-                for r in joined]
+        out = []
+        for r in joined:
+            hit = {"key": r[key], "doc_id": r.doc_id, "score": r.score}
+            if fields is not None:
+                hit["fields"] = {f: ([] if r[f] is None else [r[f]])
+                                 for f in known}
+            out.append(hit)
+        return out
 
     def count(self, query_json: Optional[dict] = None) -> int:
         """_count: scoring elided entirely (planner/mod.rs:43-47)."""

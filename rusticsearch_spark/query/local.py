@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..index.codec import decode_block
@@ -45,9 +46,17 @@ class LocalSearcher:
         # per-term df; loaded eagerly from the block table
         self._post: Dict[Tuple[str, str],
                          Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        tbl = pq.read_table(layout.table("postings"),
-                            columns=["field", "term", "segment",
-                                     "doc_bytes", "tf_bytes", "len_bytes"])
+        # committed jobs only (same visibility rule as SearchEngine:
+        # lineage-resolved dirs, never a job=* glob)
+        post_dirs = layout.committed_dirs("postings")
+        tbl = pa.concat_tables([
+            pq.read_table(d, columns=["field", "term", "segment",
+                                      "doc_bytes", "tf_bytes",
+                                      "len_bytes"])
+            for d in post_dirs]) if post_dirs else pq.read_table(
+                layout.table("postings"),
+                columns=["field", "term", "segment", "doc_bytes",
+                         "tf_bytes", "len_bytes"])
         fields = tbl.column("field").to_pylist()
         terms = tbl.column("term").to_pylist()
         segs = tbl.column("segment").to_numpy()
@@ -72,15 +81,19 @@ class LocalSearcher:
             self._post[key] = (d[order],
                                np.concatenate(tfs)[order],
                                np.concatenate(lens)[order])
-        stats = pq.read_table(layout.table("field_stats")).to_pydict()
+        stats = pa.concat_tables([
+            pq.read_table(d) for d in
+            layout.committed_dirs("field_stats")]).to_pydict()
         self.field_stats: Dict[str, Tuple[int, int]] = {}
         for f, d, t in zip(stats["field"], stats["total_docs"],
                            stats["total_tokens"]):
             pd_, pt = self.field_stats.get(f, (0, 0))
             self.field_stats[f] = (pd_ + int(d), pt + int(t))
-        self.all_doc_ids = np.sort(pq.read_table(
-            layout.table("docs"), columns=["doc_id"]
-        ).column("doc_id").to_numpy())
+        self.all_doc_ids = np.sort(np.concatenate([
+            pq.read_table(d, columns=["doc_id"])
+            .column("doc_id").to_numpy()
+            for d in layout.committed_dirs("docs")] or
+            [np.empty(0, dtype=np.int64)]))
         ddirs = layout.deletion_dirs()
         self.deleted: Optional[np.ndarray] = None
         if ddirs:

@@ -178,3 +178,28 @@ def test_index_no_field_not_searchable(spark, tmp_path):
     with _pytest.raises(QueryParseError):
         c.search("pages", {"term": {"raw": "secret"}})
     assert c.count("pages", {"match": {"body": "hello"}}) == 1
+
+
+def test_search_fields_param_returns_stored_values(spark, tmp_path):
+    """The `fields` URL parameter (search_api.rs:93-105,125-137):
+    requested stored fields come back per hit as singleton lists,
+    unknown names are skipped."""
+    from rusticsearch_spark.cluster import Cluster
+    docs = spark.createDataFrame(
+        [("a", "hello world", "en", 5), ("b", "hello there", None, 7)],
+        "k string, body string, lang string, rank long")
+    c = Cluster(spark, str(tmp_path / "cl_fields"))
+    c.create_index("pages", {"properties": {
+        "body": {"type": "string"},
+        "lang": {"type": "string", "index": "not_analyzed"},
+        "rank": {"type": "integer", "store": True}}}, key_col="k")
+    c.bulk("pages", docs, key_col="k", n_buckets=2, tbuckets=2,
+           shuffle_partitions=2)
+    hits = c.search("pages", {"match": {"body": "hello"}}, size=10,
+                    fields=["lang", "rank", "nope"])
+    by_key = {h["key"]: h["fields"] for h in hits}
+    assert by_key["a"] == {"lang": ["en"], "rank": ["5"]}
+    assert by_key["b"] == {"lang": [], "rank": ["7"]}   # null → []
+    # without the param no fields dict is attached
+    assert "fields" not in c.search(
+        "pages", {"match": {"body": "hello"}}, size=1)[0]

@@ -127,3 +127,48 @@ def test_multimodal_stub_pipeline(spark, webtext):
         decode_media_real(b"x", "image")
     frames = frame_sample(media.limit(2), every_n=1).collect()
     assert frames and all(f.frame_idx == 0 for f in frames)  # images: 1 frame
+
+
+def test_hyperplane_lsh_and_multitable_recall(spark, emb):
+    """Random-hyperplane LSH: (a) buckets are better balanced than
+    leading-dim sign buckets on correlated embeddings; (b) an exact
+    duplicate is always found (identical vector ⇒ identical bucket in
+    every table); (c) multi-table probing can only add candidates."""
+    from rusticsearch_spark.ops.dedup import embedding_near_dups
+    from rusticsearch_spark.ops.similarity import (
+        ann_topk_hyperplane, cosine_topk, hyperplane_bucket_expr,
+        hyperplane_bucket_py, lcg_planes, sign_bucket_expr)
+
+    planes = lcg_planes(4, 64)
+    # (a) bucket balance: max bucket share strictly better or equal
+    hp = emb.select(hyperplane_bucket_expr("embedding", planes)
+                    .alias("b")).groupBy("b").count().collect()
+    sg = emb.select(sign_bucket_expr("embedding", 4)
+                    .alias("b")).groupBy("b").count().collect()
+    n = emb.count()
+    assert max(r["count"] for r in hp) / n <= \
+        max(r["count"] for r in sg) / n + 0.05
+
+    # (b) Spark-side bucket == driver-side bucket for the same vector
+    row = emb.first()
+    got = emb.where(F.col("vec_id") == row.vec_id).select(
+        hyperplane_bucket_expr("embedding", planes).alias("b")) \
+        .collect()[0]["b"]
+    assert got == hyperplane_bucket_py(list(row.embedding), planes)
+
+    # exact duplicate always found via hyperplane buckets
+    dup = emb.limit(1).withColumn("vec_id", F.lit(999999))
+    pairs = embedding_near_dups(emb.unionByName(dup), threshold=0.999,
+                                planes=planes).collect()
+    assert any(p.id_b == 999999 and p.id_a == 0 for p in pairs)
+
+    # (c) two tables return at least the single-table hits, and the
+    # re-rank agrees with brute force on whatever it returns
+    q = list(emb.first().embedding)
+    brute = {r.vec_id: r.cos for r in
+             cosine_topk(emb.where("vec_id <> 0"), q, k=50).collect()}
+    t1 = {r.vec_id for r in ann_topk_hyperplane(
+        emb.where("vec_id <> 0"), q, k=50, nbits=4, tables=1).collect()}
+    t2 = {r.vec_id for r in ann_topk_hyperplane(
+        emb.where("vec_id <> 0"), q, k=50, nbits=4, tables=2).collect()}
+    assert len(t2 & set(brute)) >= len(t1 & set(brute))

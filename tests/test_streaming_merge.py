@@ -152,3 +152,46 @@ def test_select_merge_candidates_policy():
     chosen = select_merge_candidates(big)
     assert len(chosen) == 0 or sum(big[j] for j in chosen) <= 65_536 \
         or len(chosen) == 1
+
+
+def test_partial_merge_job_id_not_reused_and_crash_invisible(
+        spark, stream_index, webtext, tmp_path):
+    """Two hardening rules of the visibility protocol:
+
+    * new partial-merge job ids come from ALL lineage rows, so a
+      zero-doc streaming batch holding the max id is never clobbered;
+    * job data with NO committed lineage row (crashed writer) is
+      invisible to readers (SearchEngine + LocalSearcher resolve dirs
+      via committed lineage, not job=* glob).
+    """
+    import shutil
+
+    from rusticsearch_spark.query.local import LocalSearcher
+    from rusticsearch_spark.streaming.ingest import StreamingIngester
+    work = str(tmp_path / "guard_idx")
+    shutil.copytree(stream_index, work)
+    layout = IndexLayout(work)
+    # a tiny job in another tier keeps the merge PARTIAL
+    extra = (webtext.select("url", "text", "lang").limit(5)
+             .withColumn("url", F.concat(F.lit("x://g/"), F.col("url"))))
+    StreamingIngester(spark, work).process_batch(extra, 98)
+    # zero-doc batch: lineage row exists with the max job id, no data
+    empty = webtext.select("url", "text", "lang").limit(0)
+    StreamingIngester(spark, work).process_batch(empty, 99)
+    jobs = layout.completed_jobs(spark)
+    zero_job = max(jobs)
+    before = _results_by_url(spark, work)
+
+    new_job = maintenance(spark, work)
+    assert isinstance(new_job, int) and new_job > zero_job
+    assert zero_job in layout.completed_jobs(spark)   # not clobbered
+    assert _results_by_url(spark, work) == before
+
+    # crashed job: data dir present, no lineage row → invisible
+    n_before = SearchEngine(spark, work).count()
+    src_docs = layout.job_dir("docs", new_job)
+    shutil.copytree(src_docs, layout.job_dir("docs", new_job + 7))
+    shutil.copytree(layout.job_dir("postings", new_job),
+                    layout.job_dir("postings", new_job + 7))
+    assert SearchEngine(spark, work).count() == n_before
+    assert LocalSearcher(work).count() == n_before
