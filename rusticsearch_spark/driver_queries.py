@@ -539,6 +539,57 @@ WHERE a.did < b.did
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs:
+    one (doc_id, cluster_id=min id in component) row per doc that has
+    at least one near-dup candidate."""
+    from .ops.dedup import dedup_clusters, minhash_band_pairs
+    pairs = minhash_band_pairs(_docs(spark, sf_dir), num_perm=8,
+                               band_size=2)
+    return dedup_clusters(pairs)
+
+
+def sql_dedup_clusters():
+    # reuse the minhash-pair derivation as CTEs, then a recursive
+    # reachability closure: cluster_id = min reachable node
+    base = sql_minhash_pairs()
+    assert base.lstrip().startswith("WITH ")
+    head, tail = base.split("SELECT DISTINCT a.did AS id_a", 1)
+    head = head.replace("WITH ", "WITH RECURSIVE ", 1)
+    return head.rstrip().rstrip(")") + """),
+mp AS (
+  SELECT DISTINCT a.did AS id_a""" + tail.rstrip().rstrip('"').rstrip() + """
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mp
+  UNION SELECT id_b, id_a FROM mp
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 100‰ sample of the corpus by hashed key — the
+    reproducible train/eval-split primitive."""
+    from .ops.dedup import hash_sample
+    return hash_sample(_docs(spark, sf_dir), permille=100) \
+        .select("doc_id", "lang", "source")
+
+
+def sql_sample_hash():
+    return """
+SELECT doc_id, lang, source FROM documents
+WHERE (('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 8))::BIGINT
+       % 1000) < 100
+"""
+
+
 def q_simhash(spark, sf_dir):
     from .ops.dedup import simhash
     return simhash(_docs(spark, sf_dir), bits=16)
@@ -926,6 +977,8 @@ QUERIES: Dict[str, Callable] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_hash": q_sample_hash,
     "simhash": q_simhash,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
@@ -960,6 +1013,8 @@ ORACLES: Dict[str, str] = {
     "dedup_jaccard": sql_dedup_jaccard(),
     "dedup_jaccard_guarded": sql_dedup_jaccard_guarded(),
     "minhash_pairs": sql_minhash_pairs(),
+    "dedup_clusters": sql_dedup_clusters(),
+    "sample_hash": sql_sample_hash(),
     "simhash": sql_simhash(),
     "ann_cosine": sql_ann_cosine(),
     "ann_lsh": sql_ann_lsh(),

@@ -145,6 +145,61 @@ def minhash_band_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b").distinct())
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(doc_id, cluster_id)`` where cluster_id = the smallest doc id
+    in the component (the canonical "keep this one" choice).
+
+    Min-label propagation: every node starts as its own label; each
+    round joins labels across edges (both directions) and keeps the
+    minimum, until a round changes nothing.  Rounds = graph diameter;
+    near-dup graphs are star/clique-shaped (a cluster of copies all
+    pair with each other), so 2-3 rounds converge in practice and
+    ``max_iter`` is a guard, not the expected cost.  Each round is
+    one shuffle on doc_id; ``localCheckpoint`` truncates the plan so
+    lineage doesn't grow linearly with rounds (the classic iterative-
+    algorithm failure mode on Spark).
+    """
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .unionByName(pairs.select(F.col(id_b).alias("u"),
+                                       F.col(id_a).alias("v")))
+             .distinct())
+    labels = edges.select(F.col("u").alias("n")).distinct() \
+        .withColumn("lbl", F.col("n"))
+    edges = edges.localCheckpoint()
+    for _ in range(max_iter):
+        # neighbour labels: for each node, the min label among peers
+        nbr = (edges.join(labels.withColumnRenamed("n", "v"), "v")
+               .groupBy(F.col("u").alias("n"))
+               .agg(F.min("lbl").alias("nlbl")))
+        new = (labels.join(nbr, "n", "left")
+               .select("n", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                       .alias("lbl"))).localCheckpoint()
+        changed = (new.alias("a").join(labels.alias("b"), "n")
+                   .where(F.col("a.lbl") != F.col("b.lbl")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def hash_sample(df: DataFrame, permille: int, key_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Deterministic corpus sampling: keep rows whose md5(salt ∥ key)
+    bucket (0..999) < ``permille``.  Pure function of the key — stable
+    across runs/partitions/engines (exact SQL oracle), which random()
+    sampling is not; the standard way to carve reproducible train /
+    eval splits from a web corpus."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          F.col(key_col).cast("string"))),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(1000))
+    return df.where(bucket < permille)
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: bit b of the fingerprint is the

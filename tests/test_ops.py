@@ -172,3 +172,29 @@ def test_hyperplane_lsh_and_multitable_recall(spark, emb):
     t2 = {r.vec_id for r in ann_topk_hyperplane(
         emb.where("vec_id <> 0"), q, k=50, nbits=4, tables=2).collect()}
     assert len(t2 & set(brute)) >= len(t1 & set(brute))
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label connected components: chain + clique + singleton-free
+    (only docs with pairs appear), cluster_id = component min."""
+    from rusticsearch_spark.ops.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (11, 12),    # clique {10,11,12}
+         (20, 21)],                       # pair
+        "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_hash_sample_deterministic_and_disjoint(spark):
+    from rusticsearch_spark.ops.dedup import hash_sample
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, 100).collect()}
+    b = {r.doc_id for r in hash_sample(df, 100).collect()}
+    assert a == b                        # pure function of the key
+    assert 120 <= len(a) <= 280          # ~10% of 2000
+    # different salt → a different (roughly independent) sample
+    c = {r.doc_id for r in hash_sample(df, 100, salt="eval").collect()}
+    assert c != a
