@@ -43,7 +43,8 @@ def delete_documents(spark: SparkSession, index_dir: str,
     """
     layout = IndexLayout(index_dir)
     config = layout.read_config()
-    docs = spark.read.parquet(layout.table("docs"))
+    docs = (spark.read.option("basePath", layout.table("docs"))
+            .parquet(*layout.committed_dirs("docs", spark)))
     if keys is not None:
         target = docs.where(F.col(config.key_col).isin(list(keys))) \
             .select("doc_id")

@@ -55,21 +55,26 @@ class StreamingIngester:
             return  # replayed batch: lineage says done → idempotent skip
         key = self.config.key_col
         batch_df = batch_df.dropDuplicates([key])
-        done = self.layout.completed_jobs(self.spark)
-        if self.upsert and done:
+        docs_dirs = self.layout.committed_dirs("docs", self.spark)
+        if self.upsert and docs_dirs:
             # insert_or_update semantics (rocksdb/mod.rs:212-226):
             # mark any existing doc with the same key deleted, then
-            # index the incoming version under a fresh doc_id
-            existing = (self.spark.read.parquet(self.layout.table("docs"))
+            # index the incoming version under a fresh doc_id.
+            # Committed dirs only — an orphan dir from a crashed job
+            # must not source delete marks.
+            existing = (self.spark.read
+                        .option("basePath", self.layout.table("docs"))
+                        .parquet(*docs_dirs)
                         .join(batch_df.select(key), key, "left_semi")
                         .select("doc_id").distinct())
             if not existing.isEmpty():
                 existing.coalesce(1).write.mode("overwrite").parquet(
                     self.layout.next_deletion_dir())
-        elif self.dedup_keys and done:
+        elif self.dedup_keys and docs_dirs:
             # first-writer-wins insert: skip keys already indexed
-            existing_keys = self.spark.read.parquet(
-                self.layout.table("docs")).select(key)
+            existing_keys = (self.spark.read
+                             .option("basePath", self.layout.table("docs"))
+                             .parquet(*docs_dirs).select(key))
             batch_df = batch_df.join(existing_keys, key, "left_anti")
         if batch_df.isEmpty():
             # nothing new: still commit the lineage row so a replay of
