@@ -272,18 +272,29 @@ def _encode_partitions_arrow(field_names: List[str]):
 
         gk = tbl.column("gkey").to_numpy()
         doc = tbl.column("doc_id").to_numpy()
-        lb = tbl.column("len_byte").to_numpy()
-        tf = tbl.column("tf").to_numpy().astype(np.int64)
+        lb0 = tbl.column("len_byte").to_numpy()
+        tf0 = tbl.column("tf").to_numpy().astype(np.int64)
         n = len(gk)
         # group (= block) boundaries: gkey change points.  Rows arrive
-        # as pre-counted distinct (doc, term) postings (tf counted
-        # map-side by term_tf_pairs_column), doc_id-sorted per group.
+        # doc_id-sorted per group; duplicate (group, doc) rows merge
+        # here by SUMMING tf (run-length over the sort) — correct for
+        # both raw occurrence rows (tf=1 each) and map-side
+        # pre-counted rows (no duplicates).
         change = np.empty(n, dtype=bool)
         change[0] = True
         np.not_equal(gk[1:], gk[:-1], out=change[1:])
-        gp_starts = np.nonzero(change)[0]             # row idx per group
-        row_starts = gp_starts
-        df_block = np.diff(np.append(gp_starts, n))
+        new_post = change.copy()
+        new_post[1:] |= doc[1:] != doc[:-1]
+        p_starts = np.nonzero(new_post)[0]            # row idx per posting
+        if p_starts.size == n:                        # no duplicates
+            tf, lb = tf0, lb0
+        else:
+            tf = np.add.reduceat(tf0, p_starts)
+            lb = lb0[p_starts]
+            doc = doc[p_starts]
+        gp_starts = np.nonzero(change[p_starts])[0]   # posting idx per group
+        row_starts = p_starts[gp_starts]              # row idx per group
+        df_block = np.diff(np.append(gp_starts, len(p_starts)))
         sum_tf = np.add.reduceat(tf, gp_starts)
         max_tf = np.maximum.reduceat(tf, gp_starts)
         min_len = np.minimum.reduceat(lb, gp_starts)
@@ -301,7 +312,7 @@ def _encode_partitions_arrow(field_names: List[str]):
         len_u8 = np.clip(lb, 0, 255).astype(np.uint8)
         doc_mem, tf_mem, len_mem = (doc_buf.tobytes(), tf_buf.tobytes(),
                                     len_u8.tobytes())
-        gp_ends = np.append(gp_starts[1:], n)
+        gp_ends = np.append(gp_starts[1:], len(p_starts))
         d_lo, d_hi = doc_off[gp_starts], doc_off[gp_ends]
         t_lo, t_hi = tf_off[gp_starts], tf_off[gp_ends]
         take = pa.array(row_starts)
@@ -346,7 +357,8 @@ def _encode_partitions_arrow(field_names: List[str]):
 
 
 def _posting_rows(ids: DataFrame, config: IndexConfig,
-                  registry: AnalyzerRegistry) -> DataFrame:
+                  registry: AnalyzerRegistry,
+                  precount: bool = True) -> DataFrame:
     """Raw (field_ord, term, doc_id, len_byte) occurrence rows,
     unioned over fields.  Length quantization runs as a native SQL
     expression (agrees exactly with the f32 reference quantization
@@ -444,11 +456,18 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # map-side combine: partial agg dedups (doc, term) before the
-    # exchange; len_byte is constant per (doc, field) so it rides as a
-    # group key for free
-    return (out.groupBy("field_ord", "term", "doc_id", "len_byte")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+    if precount:
+        # map-side combine: partial agg dedups (doc, term) before the
+        # exchange (×2.3 fewer shuffled rows on web text); len_byte is
+        # constant per (doc, field) so it rides as a group key free
+        return (out.groupBy("field_ord", "term", "doc_id", "len_byte")
+                .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+    # raw occurrences: the encoder run-length-merges duplicates after
+    # the sort — no hash-aggregation state anywhere in the build (the
+    # agg's random-access hash table is the one non-streaming memory
+    # pattern, and it is the first thing to stop scaling when cores
+    # share a memory subsystem)
+    return out.withColumn("tf", F.lit(1))
 
 
 def _field_stats(spark: SparkSession, ids: DataFrame, postings_dir: str,
@@ -559,7 +578,8 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     # the shuffled row stays minimal: (field_ord, term, doc_id,
     # len_byte) — every extra Tungsten field is 8 aligned bytes on
     # the build's only wide shuffle.
-    flat = _posting_rows(ids, config, registry)
+    flat = _posting_rows(ids, config, registry,
+                         precount=config.precount)
     (flat
      .repartition(shuffle_p, "field_ord", "term",
                   F.shiftrightunsigned("doc_id", SEGMENT_BITS))

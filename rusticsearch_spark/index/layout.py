@@ -56,6 +56,10 @@ class IndexConfig:
     #: both sides
     search_analyzers: Dict[str, str] = field(default_factory=dict)
     stored: List[str] = field(default_factory=list)
+    #: map-side tf pre-count (partial hash agg) before the shuffle;
+    #: False = ship raw occurrences and run-length-merge in the
+    #: encoder after the sort (no hash-agg state in the whole build)
+    precount: bool = True
     n_buckets: int = 32          # url-hash buckets (doc-id namespace)
     tbuckets: int = 8            # term-hash partition dirs of `postings`
     shuffle_partitions: Optional[int] = None
