@@ -224,6 +224,9 @@ def q_fts_prefix(spark, sf_dir):
 
 
 def sql_fts_prefix():
+    # the Avg divisor spans the GLOBAL term dictionary (all fields,
+    # term_dictionary.rs:78-85): text tokens ∪ lang ∪ source ∪
+    # doc_date ∪ tags items (tags = lang ∪ source, already covered)
     return _PRELUDE + f""",
 pts AS (
   SELECT tf.doc_id, tf.tok, {_SCORE} AS s
@@ -231,9 +234,50 @@ pts AS (
   CROSS JOIN stats
   WHERE tf.tok LIKE 'sc%'
 ),
-nt AS (SELECT count(DISTINCT tok) AS n FROM dfreq WHERE tok LIKE 'sc%')
+alldict AS (
+  SELECT tok FROM dfreq
+  UNION SELECT lang FROM documents WHERE lang IS NOT NULL
+  UNION SELECT source FROM documents WHERE source IS NOT NULL
+  UNION SELECT strftime(DATE '2024-01-01' + (doc_id % 90)::INT,
+                        '%Y-%m-%d') || 'T00:00:00.'
+               || lpad(((doc_id % 4) * 250000)::VARCHAR, 6, '0') || 'Z'
+        FROM documents
+),
+nt AS (SELECT count(DISTINCT tok) AS n FROM alldict WHERE tok LIKE 'sc%')
 SELECT pts.doc_id AS doc_id, ROUND(SUM(pts.s) / MAX(nt.n), 6) AS score
 FROM pts CROSS JOIN nt GROUP BY 1
+"""
+
+
+def q_fts_prefix_lang(spark, sf_dir):
+    """Prefix on the plain `lang` field where the GLOBAL-dictionary
+    Avg divisor differs from the per-field term count: 'e%' matches
+    only {en, es} in lang but many text tokens — the reference
+    divides by ALL of them (term_dictionary.rs:78-85)."""
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"prefix": {"lang": "e"}})
+
+
+def sql_fts_prefix_lang():
+    score = bm25_sql("1", "0", "lf.df", "ls.d", "ls.t")
+    return _PRELUDE + f""",
+ls AS (SELECT count(*) AS d, count(*) AS t FROM documents
+       WHERE lang IS NOT NULL),
+lf AS (SELECT lang, count(*)::BIGINT AS df FROM documents
+       WHERE lang IS NOT NULL GROUP BY 1),
+alldict AS (
+  SELECT tok FROM dfreq
+  UNION SELECT lang FROM documents WHERE lang IS NOT NULL
+  UNION SELECT source FROM documents WHERE source IS NOT NULL
+  UNION SELECT strftime(DATE '2024-01-01' + (doc_id % 90)::INT,
+                        '%Y-%m-%d') || 'T00:00:00.'
+               || lpad(((doc_id % 4) * 250000)::VARCHAR, 6, '0') || 'Z'
+        FROM documents
+),
+nt AS (SELECT count(DISTINCT tok) AS n FROM alldict WHERE tok LIKE 'e%')
+SELECT d.doc_id, ROUND({score} / nt.n, 6) AS score
+FROM documents d JOIN lf ON d.lang = lf.lang CROSS JOIN ls CROSS JOIN nt
+WHERE d.lang LIKE 'e%'
 """
 
 
@@ -964,6 +1008,7 @@ QUERIES: Dict[str, Callable] = {
     "fts_match_boost": q_fts_match_boost,
     "fts_count": q_fts_count,
     "fts_prefix": q_fts_prefix,
+    "fts_prefix_lang": q_fts_prefix_lang,
     "fts_filtered": q_fts_filtered,
     "fts_exclude": q_fts_exclude,
     "fts_constant_score": q_fts_constant_score,
@@ -1000,6 +1045,7 @@ ORACLES: Dict[str, str] = {
     "fts_match_boost": sql_fts_match_boost(),
     "fts_count": sql_fts_count(),
     "fts_prefix": sql_fts_prefix(),
+    "fts_prefix_lang": sql_fts_prefix_lang(),
     "fts_filtered": sql_fts_filtered(),
     "fts_exclude": sql_fts_exclude(),
     "fts_constant_score": sql_fts_constant_score(),

@@ -119,10 +119,15 @@ class OracleIndex:
                        if t.startswith(q.prefix)]
             if not matched:
                 return np.float32(0.0)
+            # Avg over GLOBAL dictionary matches (all fields),
+            # term_dictionary.rs:78-85: out-of-field matches score 0
+            n_dict = len({t for f in self.postings
+                          for t in self.postings[f]
+                          if t.startswith(q.prefix)})
             acc = np.float32(0.0)
             for term in matched:
                 acc = acc + self._term_score(q.field, term, doc_id, q.scorer)
-            return acc / np.float32(len(matched))
+            return acc / np.float32(n_dict)
         if isinstance(q, (dsl.Conjunction, dsl.Disjunction)):
             acc = np.float32(0.0)
             for c in q.queries:

@@ -222,10 +222,20 @@ class SearchEngine:
         q = self.parse(query_json)
         k = from_ + size
         # WAND's pass-1 threshold must reflect only live docs, so the
-        # fast path is disabled when a deletion list exists
-        if wand and self.deletions is None and isinstance(q, dsl.Term):
-            frame = self._score_term(q.field, q.term, q.scorer, k=k)
-        else:
+        # fast paths are disabled when a deletion list exists
+        frame = None
+        if wand and self.deletions is None:
+            if isinstance(q, dsl.Term):
+                frame = self._score_term(q.field, q.term, q.scorer, k=k)
+            elif isinstance(q, (dsl.Conjunction, dsl.Disjunction,
+                                dsl.DisjunctionMax)) \
+                    and self._fusable(q.queries):
+                mode = ("and" if isinstance(q, dsl.Conjunction) else
+                        "or" if isinstance(q, dsl.Disjunction) else "max")
+                pruned = self._fused_topk(q.queries, mode, k)
+                if pruned is not None:
+                    frame = self._materialize(pruned)
+        if frame is None:
             frame = self._live(self._materialize(self._score(q)))
         out = frame.orderBy(F.desc("score"), F.asc("doc_id"))
         if from_:
@@ -289,6 +299,16 @@ class SearchEngine:
 
     def _fused_frame(self, children) -> DataFrame:
         """(doc_id, child, score): all Term children in one decode."""
+        sim = children[0].scorer.similarity
+        return self._fused_blocks(children).select(
+            "segment", "doc_bytes", "tf_bytes", "len_bytes", "df_global",
+            "boost", "total_docs", "total_tokens", "child"
+        ).mapInPandas(_fused_decode_fn(sim, self.precision),
+                      schema=_FUSED_SCHEMA)
+
+    def _fused_blocks(self, children) -> DataFrame:
+        """Spec-joined block rows for fusable Term children (shared by
+        the full decode and the pruned top-k paths)."""
         tb = self.config.tbuckets
         rows = []
         for i, c in enumerate(children):
@@ -305,13 +325,120 @@ class SearchEngine:
         blocks = blocks.join(F.broadcast(spec), ["tbucket", "field", "term"])
         dfagg = blocks.groupBy("field", "term").agg(
             F.sum("df_block").cast("long").alias("df_global"))
-        blocks = blocks.join(F.broadcast(dfagg), ["field", "term"])
+        return blocks.join(F.broadcast(dfagg), ["field", "term"])
+
+    @staticmethod
+    def _fused_ub_udf():
+        """Vectorized per-block upper bound with PER-ROW stats (the
+        fused path scores several terms in one frame): exact f32 bm25
+        of (max_tf, min_len), grouped by child inside each batch."""
+        @F.pandas_udf("double")
+        def _ub(child: pd.Series, max_tf: pd.Series, min_len: pd.Series,
+                df_global: pd.Series, total_docs: pd.Series,
+                total_tokens: pd.Series, boost: pd.Series) -> pd.Series:
+            out = np.zeros(len(child), dtype=np.float64)
+            cvals = child.to_numpy()
+            for c in np.unique(cvals):
+                m = cvals == c
+                i = np.nonzero(m)[0][0]
+                u = bm25_f32(max_tf.to_numpy(np.int64)[m],
+                             lengths_from_bytes(
+                                 min_len.to_numpy(np.int64)[m]),
+                             int(total_tokens.iloc[i]),
+                             int(total_docs.iloc[i]),
+                             int(df_global.iloc[i])) \
+                    * np.float32(boost.iloc[i])
+                out[m] = u.astype(np.float64)
+            return pd.Series(out)
+
+        return _ub
+
+    def _fused_topk(self, children, mode: str, k: int,
+                    probe_blocks: int = 16) -> Optional[Scored]:
+        """Block-max pruning for fused multi-term top-k (the common
+        match / multi_match / dis_max case — the reference only ever
+        prunes via its TopScoreCollector doc-at-a-time; this is the
+        bulk-engine equivalent).
+
+        Skip rule per mode, with M_j = child j's best block ub:
+        Avg (and/or): skip block b of child i iff
+        (ub_b + Σ_{j≠i} M_j) / n < θ;  Max: iff ub_b < θ.
+        Soundness: a doc in a skipped block has true score below θ ≤
+        the true k-th score, so it is outside the top-k; conversely a
+        true top-k doc can sit in NO skipped block, so every child row
+        it owns is decoded — its aggregated score (and, for "and"
+        mode, its child count) stays exact.  θ comes from pass-1
+        partial aggregates, which lower-bound true scores (safe).
+        """
+        if (self.precision != "f32"
+                or children[0].scorer.similarity != dsl.BM25):
+            return None
+        n = len(children)
+        blocks = self._fused_blocks(children)
+        ub_udf = self._fused_ub_udf()
+        wb = blocks.withColumn("ub", ub_udf(
+            F.col("child"), F.col("max_tf"), F.col("min_len"),
+            F.col("df_global"), F.col("total_docs"),
+            F.col("total_tokens"), F.col("boost")))
+        meta = wb.groupBy("child").agg(
+            F.max("ub").alias("m"), F.count("*").alias("nb")).collect()
+        if not meta or sum(r.nb for r in meta) <= 2 * probe_blocks * n:
+            return None
+        if mode == "and" and len(meta) < n:
+            return ("none", None)      # a child has no postings at all
+        M = {r.child: r.m for r in meta}
+        sum_m = float(sum(M.values()))
+        # per-child probe: the probe_blocks highest-ub blocks
+        from pyspark.sql import Window
+        rn = F.row_number().over(
+            Window.partitionBy("child").orderBy(F.desc("ub"),
+                                                F.asc("segment")))
+        probed = wb.withColumn("_rn", rn)
         sim = children[0].scorer.similarity
-        return blocks.select(
-            "segment", "doc_bytes", "tf_bytes", "len_bytes", "df_global",
-            "boost", "total_docs", "total_tokens", "child"
-        ).mapInPandas(_fused_decode_fn(sim, self.precision),
-                      schema=_FUSED_SCHEMA)
+        decode_cols = ["segment", "doc_bytes", "tf_bytes", "len_bytes",
+                       "df_global", "boost", "total_docs",
+                       "total_tokens", "child"]
+        p1_rows = (probed.where(F.col("_rn") <= probe_blocks)
+                   .select(*decode_cols)
+                   .mapInPandas(_fused_decode_fn(sim, self.precision),
+                                schema=_FUSED_SCHEMA))
+        theta = self._fused_theta(p1_rows, mode, n, k)
+        if theta == -math.inf:
+            return None                # not enough pass-1 candidates
+        # pass 2: per-mode block bound vs θ (column math, no driver
+        # lists); probe blocks are re-decoded so ONE aggregation sees
+        # every surviving row exactly once
+        m_col = F.create_map(*[x for c, m in M.items()
+                               for x in (F.lit(int(c)), F.lit(float(m)))])
+        if mode == "max":
+            bound = F.col("ub")
+        else:
+            bound = (F.col("ub") + F.lit(sum_m)
+                     - m_col[F.col("child")]) / F.lit(float(n))
+        survivors = (probed.where((F.col("_rn") <= probe_blocks)
+                                  | (bound >= F.lit(theta)))
+                     .select(*decode_cols)
+                     .mapInPandas(_fused_decode_fn(sim, self.precision),
+                                  schema=_FUSED_SCHEMA))
+        return ("df", self._fused_aggregate(survivors, mode, n))
+
+    def _fused_theta(self, rows: DataFrame, mode: str, n: int,
+                     k: int) -> float:
+        agg = self._fused_aggregate(rows, mode, n)
+        top = agg.orderBy(F.desc("score"), F.asc("doc_id")) \
+            .limit(k).collect()
+        return top[-1].score if len(top) >= k else -math.inf
+
+    @staticmethod
+    def _fused_aggregate(rows: DataFrame, mode: str, n: int) -> DataFrame:
+        g = rows.groupBy("doc_id")
+        if mode == "and":
+            agg = g.agg(F.count("*").alias("c"), F.sum("score").alias("s"))
+            return agg.where(F.col("c") == n).select(
+                "doc_id", (F.col("s") / F.lit(float(n))).alias("score"))
+        if mode == "or":
+            return g.agg((F.sum("score") / F.lit(float(n))).alias("score"))
+        return g.agg(F.max("score").alias("score"))
 
     # ---------------------------------------------------------------
     # term-level scoring
@@ -351,84 +478,101 @@ class SearchEngine:
         return self._decode(self._with_global_df(blocks), field,
                             scorer.similarity, scorer.boost, needs_score)
 
+    def _block_ub_udf(self, field: str, df_global: int, boost: float):
+        """Per-block score upper bound as a vectorized COLUMN: exact
+        f32 bm25 of (max_tf, min_len) — metadata only, no decode."""
+        d, t = self.field_stats.get(field, (0, 0))
+        b32 = np.float32(boost)
+
+        @F.pandas_udf("double")
+        def _ub(max_tf: pd.Series, min_len: pd.Series) -> pd.Series:
+            u = bm25_f32(max_tf.to_numpy(np.int64),
+                         lengths_from_bytes(min_len.to_numpy(np.int64)),
+                         t, d, df_global) * b32
+            return pd.Series(u.astype(np.float64))
+
+        return _ub
+
     def _wand_prune(self, blocks: DataFrame, field: str,
                     scorer: dsl.TermScorer, k: int,
-                    max_meta: int = 200_000) -> Optional[DataFrame]:
-        """Two-pass block-max pruning for single-term top-k.
+                    probe_blocks: int = 16) -> Optional[DataFrame]:
+        """Two-pass block-max pruning for single-term top-k with
+        BOUNDED driver traffic — no term, however frequent, collects
+        more than ``probe_blocks`` metadata rows + k scores:
 
-        Returns a frame containing at least the true top-k (with exact
-        scores) or None when pruning is not applicable (too many block
-        rows to plan on the driver, or few enough blocks that pruning
-        can't win).
+        1. one metadata-only agg gives (df_global, n_blocks);
+        2. the per-block upper bound becomes a COLUMN (vectorized f32
+           bm25 over (max_tf, min_len));
+        3. pass 1 decodes the ``probe_blocks`` highest-ub blocks
+           (TakeOrdered — executor-side selection) and establishes
+           θ = the k-th best true score;
+        4. pass 2 decodes only remaining blocks with ub ≥ θ — a
+           column comparison evaluated on executors, never a
+           driver-side segment list.
+
+        Skipping is answer-preserving: every doc of a skipped block
+        scores ≤ its block ub < θ ≤ the true k-th score.  Returns a
+        superset of the true top-k with exact scores, or None when
+        pruning is not applicable.
         """
-        meta = blocks.select("segment", "df_block", "max_tf", "min_len") \
-            .limit(max_meta + 1).collect()
-        if len(meta) > max_meta or len(meta) <= 2:
-            return None
-        seg = np.array([m.segment for m in meta], dtype=np.int64)
-        dfb = np.array([m.df_block for m in meta], dtype=np.int64)
-        mtf = np.array([m.max_tf for m in meta], dtype=np.int64)
-        mln = np.array([m.min_len for m in meta], dtype=np.int64)
-        d, t = self.field_stats.get(field, (0, 0))
-        df_global = int(dfb.sum())
-        ub = bm25_f32(mtf, lengths_from_bytes(mln), t, d, df_global) \
-            * np.float32(scorer.boost)
-        order = np.argsort(-ub, kind="stable")
-        covered = np.cumsum(dfb[order])
-        n1 = int(np.searchsorted(covered, k) + 1)
-        n1 = min(n1, len(meta))
-        pass1_segs = seg[order[:n1]].tolist()
-        if n1 == len(meta):
-            sel = blocks
-            return self._decode(
-                sel.withColumn("df_global", F.lit(df_global)), field,
-                scorer.similarity, scorer.boost, True)
+        stats = blocks.agg(F.sum("df_block").alias("dfg"),
+                           F.count("*").alias("nb")).collect()[0]
+        if not stats.nb or stats.nb <= 2 * probe_blocks:
+            return None                 # few blocks: full decode wins
+        df_global = int(stats.dfg)
+        ub_udf = self._block_ub_udf(field, df_global, scorer.boost)
+        wb = blocks.withColumn("ub", ub_udf(F.col("max_tf"),
+                                            F.col("min_len")))
+        probe = (wb.select("segment", "df_block", "ub")
+                 .orderBy(F.desc("ub"), F.asc("segment"))
+                 .limit(probe_blocks).collect())
+        if sum(r.df_block for r in probe) < k:
+            return None                 # probe can't establish θ
+        p1_segs = [r.segment for r in probe]
         p1 = self._decode(
-            blocks.where(F.col("segment").isin(pass1_segs))
+            blocks.where(F.col("segment").isin(p1_segs))
             .withColumn("df_global", F.lit(df_global)),
             field, scorer.similarity, scorer.boost, True)
         top1 = p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        if len(top1) < k:
-            theta = -math.inf          # fewer than k docs: no pruning
-        else:
-            theta = top1[-1].score
-        rest = order[n1:]
-        keep = rest[ub[rest].astype(np.float64) >= theta]
-        if keep.size == 0:
-            return self.spark.createDataFrame(
-                [(r.doc_id, r.score) for r in top1], schema=_SCORE_SCHEMA)
-        if keep.size > 5000:
-            # pruning won't win; decode everything-but-pass-1 with a
-            # small NOT IN instead of a giant IN expression
-            p2_blocks = blocks.where(~F.col("segment").isin(pass1_segs))
-        else:
-            p2_blocks = blocks.where(F.col("segment").isin(
-                seg[keep].tolist()))
+        theta = top1[-1].score if len(top1) >= k else -math.inf
         p2 = self._decode(
-            p2_blocks.withColumn("df_global", F.lit(df_global)),
+            wb.where(~F.col("segment").isin(p1_segs)
+                     & (F.col("ub") >= theta))
+            .withColumn("df_global", F.lit(df_global)),
             field, scorer.similarity, scorer.boost, True)
         p1_again = self.spark.createDataFrame(
             [(r.doc_id, r.score) for r in top1], schema=_SCORE_SCHEMA)
         return p1_again.unionByName(p2)
 
     def _score_prefix(self, q: dsl.Prefix,
-                      needs_score: bool = True) -> Optional[DataFrame]:
+                      needs_score: bool = True) -> DataFrame:
         """MultiTerm(Prefix): per-doc Avg over the matched dictionary
-        terms (score_function.rs:61-79; absent term contributes 0)."""
+        terms (score_function.rs:61-79; absent term contributes 0).
+
+        The Avg divisor counts prefix-matching terms in the GLOBAL
+        term dictionary — across every field, because the reference's
+        dictionary is index-wide (term_dictionary.rs:78-85 select):
+        a term matching the prefix only in another field still pushes
+        a TermScorer that contributes 0 to every doc.  The divisor is
+        a broadcast 1-row crossJoin, not a driver-side count() — one
+        Spark job per prefix query, not two."""
         blocks = self.postings.where(
             (F.col("field") == q.field)
             & (F.col("term").startswith(q.prefix)))
-        n_terms = blocks.select("term").distinct().count()
-        if n_terms == 0:
-            return None
         per_term = self._decode(self._with_global_df(blocks), q.field,
                                 q.scorer.similarity, q.scorer.boost,
                                 needs_score)
         if not needs_score:
             return per_term.select("doc_id").distinct() \
                 .withColumn("score", F.lit(0.0))
-        return per_term.groupBy("doc_id").agg(
-            (F.sum("score") / F.lit(float(n_terms))).alias("score"))
+        nt = (self.postings
+              .where(F.col("term").startswith(q.prefix))
+              .agg(F.countDistinct("term").alias("_nt")))
+        return (per_term.groupBy("doc_id").agg(F.sum("score").alias("_s"))
+                .crossJoin(F.broadcast(nt))
+                .select("doc_id",
+                        (F.col("_s") / F.col("_nt").cast("double"))
+                        .alias("score")))
 
     # ---------------------------------------------------------------
     # boolean docsets (scoring elided — the reference's no_score path)
@@ -442,8 +586,8 @@ class SearchEngine:
             return self._score_term(q.field, q.term, q.scorer,
                                     needs_score=False).select("doc_id")
         if isinstance(q, dsl.Prefix):
-            f = self._score_prefix(q, needs_score=False)
-            return NONE if f is None else f.select("doc_id").distinct()
+            return self._score_prefix(q, needs_score=False) \
+                .select("doc_id").distinct()
         if isinstance(q, dsl.Conjunction):
             if self._fusable(q.queries):
                 fused = self._fused_frame(q.queries)
@@ -517,8 +661,7 @@ class SearchEngine:
         if isinstance(q, dsl.Term):
             return ("df", self._score_term(q.field, q.term, q.scorer))
         if isinstance(q, dsl.Prefix):
-            f = self._score_prefix(q)
-            return ("none", None) if f is None else ("df", f)
+            return ("df", self._score_prefix(q))
         if isinstance(q, dsl.Conjunction):
             return self._combine(q.queries, mode="and")
         if isinstance(q, dsl.Disjunction):

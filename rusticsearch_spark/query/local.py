@@ -161,9 +161,14 @@ class LocalSearcher:
                    and k[1].startswith(q.prefix)]
         if not matched:
             return _EMPTY
+        # Avg divisor = prefix matches in the GLOBAL term dictionary
+        # (all fields; term_dictionary.rs:78-85) — out-of-field terms
+        # contribute 0 to every doc but still count
+        n_dict = len({t for _, t in self._post
+                      if t.startswith(q.prefix)})
         frames = [self._term(f, t, q.scorer) for f, t in matched]
         ids, s = self._sum_frames(frames)
-        return ids, s / float(len(matched))
+        return ids, s / float(n_dict)
 
     @staticmethod
     def _sum_frames(frames: List[Frame]) -> Frame:

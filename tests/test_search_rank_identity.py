@@ -90,3 +90,75 @@ def test_hits_join_keys(engine):
     for h in hits:
         assert h["key"].startswith("https://")
         assert h["score"] > 0
+
+
+def test_wand_pruning_engages_on_many_blocks(spark, webtext, tmp_path):
+    """With n_buckets=40 every common term spans ~40 posting blocks
+    (> 2×probe_blocks), so the two-pass bounded-θ pruning path
+    actually executes; results must equal the unpruned evaluation."""
+    import shutil
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+    from rusticsearch_spark.query.engine import SearchEngine
+    path = str(tmp_path / "wand_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(spark, webtext, path,
+                IndexConfig(key_col="url",
+                            fields={"text": "standard", "lang": None},
+                            n_buckets=40, tbuckets=2,
+                            shuffle_partitions=4), jobs=1)
+    eng = SearchEngine(spark, path)
+    engaged = 0
+    for q in [{"term": {"text": "the"}}, {"term": {"text": "data"}}]:
+        blocks = eng._term_blocks("text", q["term"]["text"])
+        if blocks.count() <= 32:
+            continue   # term too rare in this corpus slice
+        engaged += 1
+        a = [(r.doc_id, r.score) for r in
+             eng.search(q, size=7, wand=True).collect()]
+        b = [(r.doc_id, r.score) for r in
+             eng.search(q, size=7, wand=False).collect()]
+        assert a == b and len(a) > 0
+    assert engaged >= 1   # the pruning path actually executed
+
+
+def test_fused_multiterm_pruning_matches_full_eval(spark, webtext,
+                                                   tmp_path):
+    """Block-max pruning for fused match/multi_match/dis_max top-k:
+    with n_buckets=40 the per-term block counts exceed the engage
+    threshold; pruned results must equal the unpruned path exactly
+    (doc ids AND f32 scores)."""
+    import shutil
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+    from rusticsearch_spark.query.engine import SearchEngine
+    path = str(tmp_path / "wand_multi_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(spark, webtext, path,
+                IndexConfig(key_col="url",
+                            fields={"text": "standard", "lang": None},
+                            n_buckets=40, tbuckets=2,
+                            shuffle_partitions=4), jobs=1)
+    eng = SearchEngine(spark, path)
+    queries = [
+        {"match": {"text": "the data with for"}},
+        {"match": {"text": {"query": "the data", "operator": "and"}}},
+        {"multi_match": {"query": "the data", "fields": ["text", "lang"]}},
+    ]
+    engaged = 0
+    for q in queries:
+        parsed = eng.parse(q)
+        mode = ("and" if parsed.__class__.__name__ == "Conjunction" else
+                "max" if parsed.__class__.__name__ == "DisjunctionMax"
+                else "or")
+        if eng._fusable(parsed.queries) and \
+                eng._fused_topk(parsed.queries, mode, 7,
+                                probe_blocks=4) is not None:
+            engaged += 1
+        for size in (5, 11):
+            a = [(r.doc_id, r.score) for r in
+                 eng.search(q, size=size, wand=True).collect()]
+            b = [(r.doc_id, r.score) for r in
+                 eng.search(q, size=size, wand=False).collect()]
+            assert a == b, (q, size)
+    assert engaged >= 2   # pruning path actually exercised
