@@ -1,64 +1,36 @@
 """Token filters: lowercase, ASCII folding, ngram.
 
 The reference's ASCIIFoldingFilter
-(/root/reference/src/analysis/filters/asciifolding.rs, backed by a
-~2,400-line transcription of Lucene's character table) is
-re-expressed here *algorithmically*: NFKD-decompose a character, strip
-combining marks, and accept the result only when it is pure ASCII —
-plus a small supplement table for characters with no decomposition
-(Ø, Æ, ß, Đ, Þ, Ł, ...).  Characters whose decomposition does not
-bottom out in ASCII (Greek, Cyrillic, kana with dakuten, CJK, ...)
-are left untouched, which is exactly the Lucene/reference behavior
-for non-Latin scripts (asciifolding.rs:69-83 golden: こんにちは
-unchanged).  Parity is pinned by the ported goldens in
-``tests/test_filters.py``.
+(/root/reference/src/analysis/filters/asciifolding.rs, backed by the
+~2,400-line ``lucene_asciifold.rs`` transcription of Lucene's
+character table) is driven here by the SAME table, transcribed
+mechanically into ``lucene_folding.FOLD_TABLE`` (1,242 codepoint →
+ASCII entries).  Characters outside the table (Greek, Cyrillic, kana
+with dakuten, CJK, ...) are left untouched, which is exactly the
+Lucene/reference behavior for non-Latin scripts
+(asciifolding.rs:69-83 golden: こんにちは unchanged).  Parity is
+pinned by the ported goldens in ``tests/test_filters.py`` plus a
+full-table enumeration test; an NFKD cross-check test documents
+where the table and a decomposition-based fold agree.
 """
 
 from __future__ import annotations
 
-import unicodedata
 from typing import List
 
+from .lucene_folding import FOLD_TABLE
 from .ngram_generator import Edge, ngram_generate
 from .tokenizers import Token
 
-# Characters that do not NFKD-decompose to ASCII but that Lucene's
-# ASCIIFoldingFilter maps anyway.
-_SUPPLEMENT = {
-    "ø": "o", "Ø": "O", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
-    "ß": "ss", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
-    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
-    "ı": "i", "ĸ": "k", "ŋ": "n", "Ŋ": "N", "ſ": "s",
-    "‘": "'", "’": "'", "‚": "'", "‛": "'",
-    "“": '"', "”": '"', "„": '"',
-    "–": "-", "—": "-", "−": "-",
-}
-
-_fold_cache: dict = {}
-
-
-def _fold_char(ch: str) -> str:
-    try:
-        return _fold_cache[ch]
-    except KeyError:
-        pass
-    if ch in _SUPPLEMENT:
-        folded = _SUPPLEMENT[ch]
-    else:
-        decomp = unicodedata.normalize("NFKD", ch)
-        base = "".join(
-            _SUPPLEMENT.get(c, c) for c in decomp if not unicodedata.combining(c)
-        )
-        folded = base if base and base.isascii() else ch
-    _fold_cache[ch] = folded
-    return folded
+_FOLD_TRANS = str.maketrans(FOLD_TABLE)
 
 
 def ascii_fold(text: str) -> str:
-    """Fold Latin diacritics/ligatures to ASCII; other scripts untouched."""
+    """Fold Latin diacritics/ligatures to ASCII per the full Lucene
+    table; other scripts untouched."""
     if text.isascii():
         return text
-    return "".join(_fold_char(ch) for ch in text)
+    return text.translate(_FOLD_TRANS)
 
 
 def lowercase_filter(tokens: List[Token]) -> List[Token]:

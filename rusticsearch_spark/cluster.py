@@ -135,14 +135,21 @@ class Cluster:
         """Hits across the name/alias target; multi-index results are
         merged by score (alias search semantics).  ``fields`` returns
         stored field values per hit (the `fields` URL parameter,
-        search_api.rs:93-105)."""
+        search_api.rs:93-105).
+
+        Ordering contract: (score desc, index name asc, doc_id asc) —
+        the same (score desc, doc_id asc) every engine guarantees,
+        extended lexicographically by index name so cross-index ties
+        are deterministic.  A single-index target therefore orders
+        EXACTLY as its engine does (the reference leaves cross-index
+        tie order unspecified; collectors/top_score.rs:49-110)."""
         hits: List[dict] = []
         for index in self.registry.resolve(name):
             for h in self.engine(index).hits(query_json,
                                              size=size + from_,
                                              fields=fields):
                 hits.append({**h, "_index": index})
-        hits.sort(key=lambda h: (-h["score"], h["key"]))
+        hits.sort(key=lambda h: (-h["score"], h["_index"], h["doc_id"]))
         return hits[from_:from_ + size]
 
     def count(self, name: str, query_json: Optional[dict] = None) -> int:

@@ -564,6 +564,13 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     n_docs = ids.count()  # parquet metadata only
     _trace("docs_count")
 
+    # PK sidecar: (key, doc_id) bucketed by a global key hash, so
+    # upsert/delete point lookups prune to corpus/kbuckets instead of
+    # scanning every docs dir (document_index.rs:16-91 analogue)
+    from .doc_index import write_doc_index
+    write_doc_index(ids, layout, config, job, shuffle_p)
+    _trace("doc_index_write")
+
     # ONE shuffle end to end: hash-repartition on (field_ord, term,
     # segment) co-locates each posting group (segment = the structural
     # skew salt); the within-partition sort leads with the JVM-computed
@@ -594,6 +601,20 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
      .write.mode("overwrite").partitionBy("tbucket")
      .parquet(layout.job_dir("postings", job)))
     _trace("postings_write")
+
+    # term-dictionary sidecar (term_dictionary.rs:78-85 analogue):
+    # one narrow agg of the job's block metadata → (field, term,
+    # tbucket, df, n_blocks), range-sorted by (field, term) so prefix
+    # enumeration prunes parquet row groups via term min/max instead
+    # of scanning every tbucket partition's block metadata.
+    dict_src = spark.read.parquet(layout.job_dir("postings", job)) \
+        .groupBy("field", "term", "tbucket") \
+        .agg(F.sum("df_block").cast("long").alias("df"),
+             F.count("*").cast("int").alias("n_blocks"))
+    (dict_src.repartitionByRange(max(1, shuffle_p // 4), "field", "term")
+     .sortWithinPartitions("field", "term")
+     .write.mode("overwrite").parquet(layout.job_dir("term_dict", job)))
+    _trace("term_dict")
 
     stats_rows, n_blocks = _field_stats(
         spark, ids, layout.job_dir("postings", job), config)

@@ -43,11 +43,17 @@ def delete_documents(spark: SparkSession, index_dir: str,
     """
     layout = IndexLayout(index_dir)
     config = layout.read_config()
-    docs = (spark.read.option("basePath", layout.table("docs"))
-            .parquet(*layout.committed_dirs("docs", spark)))
     if keys is not None:
-        target = docs.where(F.col(config.key_col).isin(list(keys))) \
-            .select("doc_id")
+        # PK lookup through the doc_index sidecar: reads only the
+        # kbucket partitions the keys hash into (document_index.rs
+        # k<doc_key> point lookup), not every docs dir
+        from .doc_index import resolve_keys
+        keys_df = spark.createDataFrame(
+            [(k,) for k in keys], f"{config.key_col} string")
+        resolved = resolve_keys(spark, layout, config, keys_df)
+        if resolved is None:
+            return 0
+        target = resolved.select("doc_id")
     elif doc_ids is not None:
         target = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long")

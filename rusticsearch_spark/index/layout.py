@@ -62,6 +62,11 @@ class IndexConfig:
     precount: bool = True
     n_buckets: int = 32          # url-hash buckets (doc-id namespace)
     tbuckets: int = 8            # term-hash partition dirs of `postings`
+    #: key-hash partition dirs of the `doc_index` PK sidecar.  Unlike
+    #: the doc-id bucket (whose namespace shifts per streaming batch),
+    #: this hash is GLOBAL and stable across jobs, so a point lookup
+    #: prunes to corpus/kbuckets regardless of which job holds the doc.
+    kbuckets: int = 64
     shuffle_partitions: Optional[int] = None
     analysis_settings: Optional[dict] = None  # ES-style custom analyzers
 
@@ -194,7 +199,8 @@ class IndexLayout:
             self.job_dir("lineage", job))
 
     def clear_incomplete_job(self, job: int) -> None:
-        for name in ("docs", "postings", "field_stats", "lineage"):
+        for name in ("docs", "doc_index", "postings", "term_dict",
+                     "field_stats", "lineage"):
             path = self.job_dir(name, job)
             if os.path.isdir(path):
                 shutil.rmtree(path)

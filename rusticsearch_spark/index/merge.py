@@ -96,6 +96,10 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
     docs.write.mode("overwrite").parquet(out.job_dir("docs", 0))
     n_docs = spark.read.parquet(out.job_dir("docs", 0)).count()
 
+    from .doc_index import write_doc_index
+    write_doc_index(spark.read.parquet(out.job_dir("docs", 0)),
+                    out, config, 0, shuffle_p)
+
     blocks = spark.read.option("basePath", layout.table("postings")) \
         .parquet(*[layout.job_dir("postings", j) for j in jobs])
     rows = blocks.select("field", "term", "segment", "doc_bytes",
@@ -115,6 +119,14 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
      .sortWithinPartitions("tbucket", "field", "term", "segment")
      .write.mode("overwrite").partitionBy("tbucket")
      .parquet(out.job_dir("postings", 0)))
+
+    dict_src = spark.read.parquet(out.job_dir("postings", 0)) \
+        .groupBy("field", "term", "tbucket") \
+        .agg(F.sum("df_block").cast("long").alias("df"),
+             F.count("*").cast("int").alias("n_blocks"))
+    (dict_src.repartitionByRange(max(1, shuffle_p // 4), "field", "term")
+     .sortWithinPartitions("field", "term")
+     .write.mode("overwrite").parquet(out.job_dir("term_dict", 0)))
 
     ids = spark.read.parquet(out.job_dir("docs", 0))
     stats, n_blocks = _field_stats(spark, ids,
@@ -215,7 +227,8 @@ def maintenance(spark: SparkSession, index_dir: str,
     #   4. delete retired source data.
     # The filesystem analogue of the reference's single-batch
     # activate/deactivate, segment_ops.rs:270-289.
-    for name in ("docs", "postings", "field_stats"):
+    for name in ("docs", "doc_index", "postings", "term_dict",
+                 "field_stats"):
         src = IndexLayout(gen_tmp).job_dir(name, 0)
         if os.path.isdir(src):
             os.rename(src, layout.job_dir(name, new_job))
@@ -223,7 +236,8 @@ def maintenance(spark: SparkSession, index_dir: str,
         shutil.rmtree(layout.job_dir("lineage", j), ignore_errors=True)
     layout.commit_job(spark, {**row, "job": new_job})
     for j in selected:
-        for name in ("docs", "postings", "field_stats"):
+        for name in ("docs", "doc_index", "postings", "term_dict",
+                     "field_stats"):
             p = layout.job_dir(name, j)
             if os.path.isdir(p):
                 shutil.rmtree(p)

@@ -3,10 +3,12 @@
 Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct.  The *Spark-side* machinery — schema, Arrow batch
 shape, ``mapInPandas`` signatures, partitioning — is real and tested;
-the codec step itself is STUBBED (this container has no image/audio
-libraries): ``decode_media`` computes deterministic pseudo-features
-from the raw bytes, and ``decode_media_real`` raises
-``NotImplementedError`` marking where a Pillow/ffmpeg call slots in.
+the codec step probes for Pillow at import: when importable, image
+payloads decode for real (width/height/n_frames); otherwise — or when
+a payload fails to decode — ``decode_media`` falls back to the
+deterministic stub so the pipeline shape is testable in codec-less
+containers.  The ``decoded`` output column records which path each
+row took.
 """
 
 from __future__ import annotations
@@ -19,6 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:                                  # feature probe, never required
+    from PIL import Image as _PILImage
+    HAVE_PIL = True
+except Exception:                     # pragma: no cover - env dependent
+    _PILImage = None
+    HAVE_PIL = False
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType()),
     T.StructField("media_type", T.StringType()),   # image|audio|video
@@ -30,17 +39,27 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("sha256", T.StringType()),
-    T.StructField("width", T.IntegerType()),     # pseudo (stub decode)
+    T.StructField("width", T.IntegerType()),   # real (Pillow) or pseudo
     T.StructField("height", T.IntegerType()),
     T.StructField("n_frames", T.IntegerType()),
+    T.StructField("decoded", T.BooleanType()),  # True = real codec path
 ])
 
 
 def decode_media_real(payload: bytes, media_type: str):
-    """The real decode hook (Pillow / torchaudio / PyAV)."""
+    """Real decode: Pillow for images (width/height/n_frames).  Audio/
+    video hooks (torchaudio / PyAV) follow the same contract when
+    those libs are present.  Raises when no codec is available."""
+    if media_type == "image" and _PILImage is not None:
+        from io import BytesIO
+        with _PILImage.open(BytesIO(payload or b"")) as im:
+            return (len(payload or b""),
+                    hashlib.sha256(payload or b"").hexdigest(),
+                    int(im.width), int(im.height),
+                    int(getattr(im, "n_frames", 1)))
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "decode_media() provides the deterministic stub")
+        "no codec for media_type=%r in this environment; "
+        "decode_media() provides the deterministic stub" % (media_type,))
 
 
 def _stub_features(payload: bytes, media_type: str):
@@ -54,15 +73,33 @@ def _stub_features(payload: bytes, media_type: str):
         w, h, frames
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, mode: str = "auto") -> DataFrame:
     """mapInPandas feature extraction over MEDIA_SCHEMA rows.
 
     Arrow-batched; one Python crossing per batch, vectorizable body.
+    ``mode``: "auto" (real codec when importable and the payload
+    decodes, stub otherwise — the default), "stub" (always the
+    deterministic stub), "real" (raise on any undecodable payload).
     """
+    if mode not in ("auto", "stub", "real"):
+        raise ValueError(mode)
+    if mode == "auto" and not HAVE_PIL:
+        mode = "stub"          # no codec probe hit: skip per-row tries
+
+    def _one(mid, mtype, payload):
+        if mode != "stub":
+            try:
+                return (mid, mtype, *decode_media_real(payload, mtype),
+                        True)
+            except Exception:
+                if mode == "real":
+                    raise
+        return (mid, mtype, *_stub_features(payload, mtype), False)
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                (mid, mtype, *_stub_features(payload, mtype))
+                _one(mid, mtype, payload)
                 for mid, mtype, payload in zip(
                     pdf["media_id"], pdf["media_type"], pdf["payload"])
             ]

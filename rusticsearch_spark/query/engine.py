@@ -160,10 +160,21 @@ _FUSED_SCHEMA = T.StructType([
 class SearchEngine:
     """Read-side handle on one index directory."""
 
+    # Block-max pruning engages only when estimated decode cost
+    # dominates its extra driver round-trips: at least this many
+    # postings across the query's terms.  Below it, a toy/medium
+    # corpus full decode is one job and strictly cheaper.
+    PRUNE_MIN_POSTINGS = 100_000
+
     def __init__(self, spark: SparkSession, index_dir: str,
                  precision: str = "f32", cache_postings: bool = False):
         self.spark = spark
         self.precision = precision
+        self.prune_min_postings = self.PRUNE_MIN_POSTINGS
+        # instrumentation for tests: did the last top-k call actually
+        # take the two-pass pruned path (vs the full-decode fallback)?
+        self._wand_pruned = False
+        self._fused_pruned = False
         self.layout = IndexLayout(index_dir)
         self.config: IndexConfig = self.layout.read_config()
         if self.config.analysis_settings:
@@ -183,10 +194,23 @@ class SearchEngine:
 
         self.postings = _read("postings")
         self.docs = _read("docs")
+        # term-dictionary sidecar (term_dictionary.rs:78-85): present
+        # when every committed job wrote one; readers fall back to
+        # block-metadata scans otherwise (legacy indexes)
+        import os as _os
+        jobs = self.layout.completed_jobs(spark)
+        td_ok = all(
+            _os.path.isdir(self.layout.job_dir("term_dict", j))
+            for j in jobs
+            if _os.path.isdir(self.layout.job_dir("postings", j)))
+        self.term_dict: Optional[DataFrame] = (
+            _read("term_dict") if td_ok and jobs else None)
         if cache_postings:
             # serving mode: pin the (compressed, small relative to the
             # corpus) block table in memory across queries
             self.postings = self.postings.cache()
+            if self.term_dict is not None:
+                self.term_dict = self.term_dict.cache()
         stats = _read("field_stats") \
             .groupBy("field").agg(F.sum("total_docs").alias("d"),
                                   F.sum("total_tokens").alias("t")).collect()
@@ -306,9 +330,10 @@ class SearchEngine:
         ).mapInPandas(_fused_decode_fn(sim, self.precision),
                       schema=_FUSED_SCHEMA)
 
-    def _fused_blocks(self, children) -> DataFrame:
-        """Spec-joined block rows for fusable Term children (shared by
-        the full decode and the pruned top-k paths)."""
+    def _fused_core(self, children) -> DataFrame:
+        """Spec-joined block rows for fusable Term children — no df
+        aggregate attached (the pruned path gets df from its one
+        metadata job; the full path joins the broadcast agg)."""
         tb = self.config.tbuckets
         rows = []
         for i, c in enumerate(children):
@@ -322,7 +347,12 @@ class SearchEngine:
             F.col("tbucket").isin(sorted({r[0] for r in rows}))
             & F.col("field").isin(sorted({r[1] for r in rows}))
             & F.col("term").isin(sorted({r[2] for r in rows})))
-        blocks = blocks.join(F.broadcast(spec), ["tbucket", "field", "term"])
+        return blocks.join(F.broadcast(spec), ["tbucket", "field", "term"])
+
+    def _fused_blocks(self, children) -> DataFrame:
+        """Spec-joined block rows for fusable Term children (shared by
+        the full decode and the pruned top-k paths)."""
+        blocks = self._fused_core(children)
         dfagg = blocks.groupBy("field", "term").agg(
             F.sum("df_block").cast("long").alias("df_global"))
         return blocks.join(F.broadcast(dfagg), ["field", "term"])
@@ -354,13 +384,14 @@ class SearchEngine:
         return _ub
 
     def _fused_topk(self, children, mode: str, k: int,
-                    probe_blocks: int = 16) -> Optional[Scored]:
+                    probe_blocks: int = 16,
+                    min_postings: Optional[int] = None) -> Optional[Scored]:
         """Block-max pruning for fused multi-term top-k (the common
         match / multi_match / dis_max case — the reference only ever
         prunes via its TopScoreCollector doc-at-a-time; this is the
         bulk-engine equivalent).
 
-        Skip rule per mode, with M_j = child j's best block ub:
+        Skip rule per mode, with M_j ≥ child j's best block ub:
         Avg (and/or): skip block b of child i iff
         (ub_b + Σ_{j≠i} M_j) / n < θ;  Max: iff ub_b < θ.
         Soundness: a doc in a skipped block has true score below θ ≤
@@ -369,42 +400,89 @@ class SearchEngine:
         it owns is decoded — its aggregated score (and, for "and"
         mode, its child count) stays exact.  θ comes from pass-1
         partial aggregates, which lower-bound true scores (safe).
+
+        Engage gate: ONE metadata-only aggregate (df/min/max column
+        stats, no ub UDF, no decode) decides whether pruning pays —
+        Σdf_block ≥ min_postings AND enough blocks.  Below the gate
+        the SAME blocks frame is fully decoded (nothing recomputed),
+        so small/medium corpora pay exactly the unpruned plan.
         """
         if (self.precision != "f32"
                 or children[0].scorer.similarity != dsl.BM25):
             return None
+        if min_postings is None:
+            min_postings = self.prune_min_postings
+        self._fused_pruned = False
         n = len(children)
-        blocks = self._fused_blocks(children)
-        ub_udf = self._fused_ub_udf()
-        wb = blocks.withColumn("ub", ub_udf(
-            F.col("child"), F.col("max_tf"), F.col("min_len"),
-            F.col("df_global"), F.col("total_docs"),
-            F.col("total_tokens"), F.col("boost")))
-        meta = wb.groupBy("child").agg(
-            F.max("ub").alias("m"), F.count("*").alias("nb")).collect()
-        if not meta or sum(r.nb for r in meta) <= 2 * probe_blocks * n:
-            return None
-        if mode == "and" and len(meta) < n:
+        blocks = self._fused_core(children)
+        # ONE cheap metadata job gates pruning AND supplies df_global
+        # per child + a per-child score ceiling — the full path needed
+        # an equivalent df aggregate anyway, so the gate adds no job.
+        meta = blocks.groupBy("child").agg(
+            F.sum("df_block").cast("long").alias("dfg"),
+            F.count("*").alias("nb"),
+            F.max("max_tf").alias("mtf"),
+            F.min("min_len").alias("mln")).collect()
+        if not meta or (mode == "and" and len(meta) < n):
             return ("none", None)      # a child has no postings at all
-        M = {r.child: r.m for r in meta}
-        sum_m = float(sum(M.values()))
-        # per-child probe: the probe_blocks highest-ub blocks
-        from pyspark.sql import Window
-        rn = F.row_number().over(
-            Window.partitionBy("child").orderBy(F.desc("ub"),
-                                                F.asc("segment")))
-        probed = wb.withColumn("_rn", rn)
+        dfmap = {int(r.child): int(r.dfg) for r in meta}
+        df_col = F.create_map(*[x for c, v in dfmap.items()
+                                for x in (F.lit(c), F.lit(v))]) \
+            [F.col("child")].cast("long")
+        wdf = blocks.withColumn("df_global", df_col)
         sim = children[0].scorer.similarity
         decode_cols = ["segment", "doc_bytes", "tf_bytes", "len_bytes",
                        "df_global", "boost", "total_docs",
                        "total_tokens", "child"]
-        p1_rows = (probed.where(F.col("_rn") <= probe_blocks)
+
+        def _full() -> Scored:
+            rows = (wdf.select(*decode_cols)
+                    .mapInPandas(_fused_decode_fn(sim, self.precision),
+                                 schema=_FUSED_SCHEMA))
+            return ("df", self._fused_aggregate(rows, mode, n))
+
+        if (sum(r.nb for r in meta) <= 2 * probe_blocks * n
+                or sum(dfmap.values()) < min_postings):
+            return _full()             # decode is the cheaper plan
+        self._fused_pruned = True
+        # Per-child ceiling M_j from the same metadata aggregate:
+        # bm25(max over blocks of max_tf, min over blocks of min_len)
+        # ≥ every per-block ub of child j (monotone ↑tf, ↓len).
+        # Conservative (≥ the exact max block ub) ⇒ skip rule stays
+        # sound, and no ub UDF runs before the gate.
+        M = {}
+        for r in meta:
+            c = children[r.child]
+            d, t = self.field_stats.get(c.field, (0, 0))
+            u = bm25_f32(np.array([r.mtf], dtype=np.int64),
+                         lengths_from_bytes(
+                             np.array([r.mln], dtype=np.int64)),
+                         t, d, dfmap[int(r.child)]) \
+                * np.float32(c.scorer.boost)
+            M[int(r.child)] = float(u[0])
+        sum_m = float(sum(M.values()))
+        ub_udf = self._fused_ub_udf()
+        wb = wdf.withColumn("ub", ub_udf(
+            F.col("child"), F.col("max_tf"), F.col("min_len"),
+            F.col("df_global"), F.col("total_docs"),
+            F.col("total_tokens"), F.col("boost")))
+        # bounded executor-side probe selection (per-partition top-N,
+        # then top-N of those) — never a single-task sort of a head
+        # term's full block metadata
+        probes = self._per_child_top_segments(wb, probe_blocks)
+        probed = wb.join(
+            F.broadcast(probes.withColumn("_p", F.lit(True))),
+            ["child", "segment"], "left") \
+            .withColumn("_p", F.coalesce(F.col("_p"), F.lit(False)))
+        p1_rows = (probed.where(F.col("_p"))
                    .select(*decode_cols)
                    .mapInPandas(_fused_decode_fn(sim, self.precision),
                                 schema=_FUSED_SCHEMA))
         theta = self._fused_theta(p1_rows, mode, n, k)
         if theta == -math.inf:
-            return None                # not enough pass-1 candidates
+            # not enough pass-1 candidates: decode the SAME frame
+            self._fused_pruned = False
+            return _full()
         # pass 2: per-mode block bound vs θ (column math, no driver
         # lists); probe blocks are re-decoded so ONE aggregation sees
         # every surviving row exactly once
@@ -415,12 +493,33 @@ class SearchEngine:
         else:
             bound = (F.col("ub") + F.lit(sum_m)
                      - m_col[F.col("child")]) / F.lit(float(n))
-        survivors = (probed.where((F.col("_rn") <= probe_blocks)
-                                  | (bound >= F.lit(theta)))
+        survivors = (probed.where(F.col("_p") | (bound >= F.lit(theta)))
                      .select(*decode_cols)
                      .mapInPandas(_fused_decode_fn(sim, self.precision),
                                   schema=_FUSED_SCHEMA))
         return ("df", self._fused_aggregate(survivors, mode, n))
+
+    @staticmethod
+    def _per_child_top_segments(wb: DataFrame,
+                                probe_blocks: int) -> DataFrame:
+        """(child, segment) of each child's ``probe_blocks`` highest-ub
+        blocks, tie-broken by segment asc.  Two-level bounded
+        aggregation: every task holds ≤ probe_blocks candidates per
+        (child, input-partition), so a head term with 10⁶ block rows
+        never sorts in one task (the row_number() window it replaces
+        did exactly that)."""
+        cand = F.struct((-F.col("ub")).alias("nu"),
+                        F.col("segment").alias("s"))
+        topn = lambda col: F.slice(F.sort_array(F.collect_list(col)),
+                                   1, probe_blocks)
+        local = (wb.select("child", cand.alias("c"),
+                           F.spark_partition_id().alias("pid"))
+                 .groupBy("child", "pid").agg(topn("c").alias("top")))
+        glob = (local.select("child", F.explode("top").alias("c"))
+                .groupBy("child").agg(topn("c").alias("top")))
+        return (glob.select("child", F.explode("top").alias("c"))
+                .select("child", F.col("c.s").alias("segment"))
+                .distinct())
 
     def _fused_theta(self, rows: DataFrame, mode: str, n: int,
                      k: int) -> float:
@@ -472,9 +571,7 @@ class SearchEngine:
         blocks = self._term_blocks(field, term)
         if (k is not None and needs_score and self.precision == "f32"
                 and scorer.similarity == dsl.BM25):
-            pruned = self._wand_prune(blocks, field, scorer, k)
-            if pruned is not None:
-                return pruned
+            return self._wand_prune(blocks, field, scorer, k)
         return self._decode(self._with_global_df(blocks), field,
                             scorer.similarity, scorer.boost, needs_score)
 
@@ -495,14 +592,20 @@ class SearchEngine:
 
     def _wand_prune(self, blocks: DataFrame, field: str,
                     scorer: dsl.TermScorer, k: int,
-                    probe_blocks: int = 16) -> Optional[DataFrame]:
+                    probe_blocks: int = 16,
+                    min_postings: Optional[int] = None) -> DataFrame:
         """Two-pass block-max pruning for single-term top-k with
         BOUNDED driver traffic — no term, however frequent, collects
         more than ``probe_blocks`` metadata rows + k scores:
 
-        1. one metadata-only agg gives (df_global, n_blocks);
+        1. one metadata-only agg gives (df_global, n_blocks) — this
+           doubles as the engage gate (the full path needed the same
+           df aggregate anyway, so gating adds no Spark job) AND as
+           the fallback's df_global (reused as a literal, so the
+           fallback never recomputes the aggregate);
         2. the per-block upper bound becomes a COLUMN (vectorized f32
-           bm25 over (max_tf, min_len));
+           bm25 over (max_tf, min_len)) — evaluated only AFTER the
+           gate decides pruning pays (Σdf_block ≥ min_postings);
         3. pass 1 decodes the ``probe_blocks`` highest-ub blocks
            (TakeOrdered — executor-side selection) and establishes
            θ = the k-th best true score;
@@ -512,14 +615,24 @@ class SearchEngine:
 
         Skipping is answer-preserving: every doc of a skipped block
         scores ≤ its block ub < θ ≤ the true k-th score.  Returns a
-        superset of the true top-k with exact scores, or None when
-        pruning is not applicable.
+        superset of the true top-k with exact scores; below the gate,
+        the full decode of the same blocks (also exact).
         """
+        if min_postings is None:
+            min_postings = self.prune_min_postings
+        self._wand_pruned = False
         stats = blocks.agg(F.sum("df_block").alias("dfg"),
                            F.count("*").alias("nb")).collect()[0]
-        if not stats.nb or stats.nb <= 2 * probe_blocks:
-            return None                 # few blocks: full decode wins
-        df_global = int(stats.dfg)
+        df_global = int(stats.dfg or 0)
+
+        def _full() -> DataFrame:
+            return self._decode(
+                blocks.withColumn("df_global", F.lit(df_global)),
+                field, scorer.similarity, scorer.boost, True)
+
+        if (not stats.nb or stats.nb <= 2 * probe_blocks
+                or df_global < min_postings):
+            return _full()               # decode is the cheaper plan
         ub_udf = self._block_ub_udf(field, df_global, scorer.boost)
         wb = blocks.withColumn("ub", ub_udf(F.col("max_tf"),
                                             F.col("min_len")))
@@ -527,7 +640,8 @@ class SearchEngine:
                  .orderBy(F.desc("ub"), F.asc("segment"))
                  .limit(probe_blocks).collect())
         if sum(r.df_block for r in probe) < k:
-            return None                 # probe can't establish θ
+            return _full()               # probe can't establish θ
+        self._wand_pruned = True
         p1_segs = [r.segment for r in probe]
         p1 = self._decode(
             blocks.where(F.col("segment").isin(p1_segs))
@@ -555,19 +669,40 @@ class SearchEngine:
         a term matching the prefix only in another field still pushes
         a TermScorer that contributes 0 to every doc.  The divisor is
         a broadcast 1-row crossJoin, not a driver-side count() — one
-        Spark job per prefix query, not two."""
+        Spark job per prefix query, not two.
+
+        With the term-dictionary sidecar the prefix enumerates from
+        the small range-sorted dictionary (term_dictionary.rs:78-85),
+        and the postings scan prunes to ONLY the tbucket partitions
+        that hold matching terms (a prefix cannot prune the hash
+        buckets by itself; the dictionary's ≤tbuckets-row distinct
+        makes it possible).  Legacy indexes fall back to the full
+        block-metadata scan."""
         blocks = self.postings.where(
             (F.col("field") == q.field)
             & (F.col("term").startswith(q.prefix)))
+        if self.term_dict is not None:
+            tbs = [r.tbucket for r in
+                   (self.term_dict
+                    .where(F.col("term").startswith(q.prefix))
+                    .select("tbucket").distinct().collect())]
+            if not tbs:
+                return self.spark.createDataFrame([], schema=_SCORE_SCHEMA)
+            blocks = blocks.where(F.col("tbucket").isin(sorted(tbs)))
         per_term = self._decode(self._with_global_df(blocks), q.field,
                                 q.scorer.similarity, q.scorer.boost,
                                 needs_score)
         if not needs_score:
             return per_term.select("doc_id").distinct() \
                 .withColumn("score", F.lit(0.0))
-        nt = (self.postings
-              .where(F.col("term").startswith(q.prefix))
-              .agg(F.countDistinct("term").alias("_nt")))
+        if self.term_dict is not None:
+            nt = (self.term_dict
+                  .where(F.col("term").startswith(q.prefix))
+                  .agg(F.countDistinct("term").alias("_nt")))
+        else:
+            nt = (self.postings
+                  .where(F.col("term").startswith(q.prefix))
+                  .agg(F.countDistinct("term").alias("_nt")))
         return (per_term.groupBy("doc_id").agg(F.sum("score").alias("_s"))
                 .crossJoin(F.broadcast(nt))
                 .select("doc_id",

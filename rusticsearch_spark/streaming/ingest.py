@@ -55,27 +55,31 @@ class StreamingIngester:
             return  # replayed batch: lineage says done → idempotent skip
         key = self.config.key_col
         batch_df = batch_df.dropDuplicates([key])
-        docs_dirs = self.layout.committed_dirs("docs", self.spark)
-        if self.upsert and docs_dirs:
+        from ..index.doc_index import resolve_keys
+        if self.upsert:
             # insert_or_update semantics (rocksdb/mod.rs:212-226):
             # mark any existing doc with the same key deleted, then
-            # index the incoming version under a fresh doc_id.
-            # Committed dirs only — an orphan dir from a crashed job
-            # must not source delete marks.
-            existing = (self.spark.read
-                        .option("basePath", self.layout.table("docs"))
-                        .parquet(*docs_dirs)
-                        .join(batch_df.select(key), key, "left_semi")
-                        .select("doc_id").distinct())
-            if not existing.isEmpty():
-                existing.coalesce(1).write.mode("overwrite").parquet(
-                    self.layout.next_deletion_dir())
-        elif self.dedup_keys and docs_dirs:
+            # index the incoming version under a fresh doc_id.  The
+            # lookup goes through the doc_index PK sidecar — only the
+            # kbucket partitions this batch's keys hash into are
+            # scanned, never the whole corpus (document_index.rs
+            # point-lookup analogue).  Committed jobs only — an orphan
+            # dir from a crashed job must not source delete marks.
+            existing = resolve_keys(self.spark, self.layout, self.config,
+                                    batch_df.select(key))
+            if existing is not None:
+                existing = existing.select("doc_id").distinct()
+                if not existing.isEmpty():
+                    existing.coalesce(1).write.mode("overwrite").parquet(
+                        self.layout.next_deletion_dir())
+        elif self.dedup_keys:
             # first-writer-wins insert: skip keys already indexed
-            existing_keys = (self.spark.read
-                             .option("basePath", self.layout.table("docs"))
-                             .parquet(*docs_dirs).select(key))
-            batch_df = batch_df.join(existing_keys, key, "left_anti")
+            # (same bucket-pruned sidecar lookup)
+            existing = resolve_keys(self.spark, self.layout, self.config,
+                                    batch_df.select(key))
+            if existing is not None:
+                batch_df = batch_df.join(existing.select(key),
+                                         key, "left_anti")
         if batch_df.isEmpty():
             # nothing new: still commit the lineage row so a replay of
             # this batch id remains a no-op

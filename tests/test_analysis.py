@@ -132,6 +132,41 @@ def test_asciifolding_more():
     assert ascii_fold("がぎぐ") == "がぎぐ"
 
 
+def test_asciifolding_exotic_table_entries():
+    """Codepoints with NO Unicode decomposition that Lucene's table
+    maps anyway — the cases an NFKD-based fold cannot reach
+    (lucene_asciifold.rs arms for ƒ, ŉ, ɖ, ɗ, quotes, brackets)."""
+    assert ascii_fold("ƒ") == "f"       # ƒ LATIN SMALL F WITH HOOK
+    assert ascii_fold("ŉ") == "n"       # ŉ (reference folds to n)
+    assert ascii_fold("ɖ") == "d"       # ɖ D WITH TAIL
+    assert ascii_fold("ɗ") == "d"       # ɗ D WITH HOOK
+    assert ascii_fold("‹›") == "''"  # ‹› → apostrophes
+    assert ascii_fold("❴❵") == "{}"  # ❴❵ curly ornaments
+    assert ascii_fold("①") == "1"       # ① circled one
+    assert ascii_fold("i⁹") == "i9"     # superscript nine
+
+
+def test_asciifolding_full_table_parity():
+    """Every mapped codepoint of the generated table equals a fresh,
+    independent parse of the reference's Lucene table — flags drift
+    if either side changes."""
+    import os
+    import pytest
+    ref = "/root/reference/src/analysis/lucene_asciifold.rs"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not available")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "scripts"))
+    from gen_folding_table import parse
+    from rusticsearch_spark.analysis.lucene_folding import FOLD_TABLE
+    fresh = parse(ref)
+    assert fresh == FOLD_TABLE
+    assert len(FOLD_TABLE) > 1000
+    for ch, out in FOLD_TABLE.items():
+        assert ascii_fold(ch) == out
+
+
 # --- analyzer chains ------------------------------------------------------
 
 def test_standard_analyzer_chain():

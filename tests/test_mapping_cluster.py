@@ -203,3 +203,29 @@ def test_search_fields_param_returns_stored_values(spark, tmp_path):
     # without the param no fields dict is attached
     assert "fields" not in c.search(
         "pages", {"match": {"body": "hello"}}, size=1)[0]
+
+
+def test_alias_merge_ordering_contract(spark, tmp_path):
+    """Cross-index alias merge orders by (score desc, index name asc,
+    doc_id asc) — the engine contract extended deterministically; two
+    indexes holding identical content must interleave by index name."""
+    from rusticsearch_spark.cluster import Cluster
+    c = Cluster(spark, str(tmp_path / "cl_tie"))
+    mapping = {"properties": {"body": {"type": "string"}}}
+    # identical corpora → identical scores → pure tie-break territory
+    docs = spark.createDataFrame(
+        [("a", "zebra stripes"), ("b", "zebra crossing")],
+        "k string, body string")
+    for name in ("idx_b", "idx_a"):      # create out of lexical order
+        c.create_index(name, mapping, key_col="k")
+        c.bulk(name, docs, key_col="k", n_buckets=2, tbuckets=2,
+               shuffle_partitions=2)
+        c.put_alias("both", name)
+    hits = c.search("both", {"term": {"body": "zebra"}}, size=10)
+    assert len(hits) == 4
+    # all four scores equal → order must be (index asc, doc_id asc)
+    assert len({h["score"] for h in hits}) == 1
+    assert [(h["_index"], h["doc_id"]) for h in hits] == sorted(
+        (h["_index"], h["doc_id"]) for h in hits)
+    # and a repeat run returns the identical permutation
+    assert hits == c.search("both", {"term": {"body": "zebra"}}, size=10)

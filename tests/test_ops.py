@@ -111,22 +111,47 @@ def test_fingerprint_detects_shared_prefix(spark, docs):
 
 
 def test_multimodal_stub_pipeline(spark, webtext):
-    from rusticsearch_spark.ops.multimodal import (decode_media,
+    from rusticsearch_spark.ops.multimodal import (HAVE_PIL, decode_media,
                                                    decode_media_real,
                                                    frame_sample,
                                                    media_from_webtext)
     media = media_from_webtext(webtext.limit(20))
     feats = decode_media(media).collect()
     assert len(feats) == 20
+    # html payloads are not decodable images → every row takes the
+    # stub path in BOTH modes (with and without a codec present)
+    assert all(not f.decoded for f in feats)
     assert all(64 <= f.width <= 255 and f.n_bytes > 0 for f in feats)
     # deterministic across runs
     again = decode_media(media).collect()
     assert sorted(f.sha256 for f in feats) == sorted(f.sha256 for f in again)
-    # the real-decode hook is an explicit stub
-    with pytest.raises(NotImplementedError):
-        decode_media_real(b"x", "image")
+    # forced stub mode is identical on the honest columns
+    stub = decode_media(media, mode="stub").collect()
+    assert sorted(f.sha256 for f in stub) == sorted(f.sha256 for f in feats)
+    if not HAVE_PIL:
+        # without a codec the real hook is an explicit stub
+        with pytest.raises(NotImplementedError):
+            decode_media_real(b"x", "image")
     frames = frame_sample(media.limit(2), every_n=1).collect()
     assert frames and all(f.frame_idx == 0 for f in frames)  # images: 1 frame
+
+
+def test_multimodal_real_decode_when_codec_present(spark):
+    """With Pillow importable the probe decodes real images: a 1×1 PNG
+    yields true dimensions and decoded=True.  Skipped in codec-less
+    containers — the plumbing is identical either way."""
+    from rusticsearch_spark.ops.multimodal import (HAVE_PIL, MEDIA_SCHEMA,
+                                                   decode_media)
+    if not HAVE_PIL:
+        pytest.skip("Pillow not available in this environment")
+    import base64
+    png_1x1 = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        b"z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    df = spark.createDataFrame([("m1", "image", bytearray(png_1x1))],
+                               MEDIA_SCHEMA)
+    row = decode_media(df).collect()[0]
+    assert row.decoded and row.width == 1 and row.height == 1
 
 
 def test_hyperplane_lsh_and_multitable_recall(spark, emb):

@@ -108,14 +108,16 @@ def test_wand_pruning_engages_on_many_blocks(spark, webtext, tmp_path):
                             n_buckets=40, tbuckets=2,
                             shuffle_partitions=4), jobs=1)
     eng = SearchEngine(spark, path)
+    eng.prune_min_postings = 0   # force the gate open at toy scale
     engaged = 0
     for q in [{"term": {"text": "the"}}, {"term": {"text": "data"}}]:
         blocks = eng._term_blocks("text", q["term"]["text"])
         if blocks.count() <= 32:
             continue   # term too rare in this corpus slice
-        engaged += 1
         a = [(r.doc_id, r.score) for r in
              eng.search(q, size=7, wand=True).collect()]
+        if eng._wand_pruned:
+            engaged += 1
         b = [(r.doc_id, r.score) for r in
              eng.search(q, size=7, wand=False).collect()]
         assert a == b and len(a) > 0
@@ -140,6 +142,7 @@ def test_fused_multiterm_pruning_matches_full_eval(spark, webtext,
                             n_buckets=40, tbuckets=2,
                             shuffle_partitions=4), jobs=1)
     eng = SearchEngine(spark, path)
+    eng.prune_min_postings = 0   # force the gate open at toy scale
     queries = [
         {"match": {"text": "the data with for"}},
         {"match": {"text": {"query": "the data", "operator": "and"}}},
@@ -151,10 +154,10 @@ def test_fused_multiterm_pruning_matches_full_eval(spark, webtext,
         mode = ("and" if parsed.__class__.__name__ == "Conjunction" else
                 "max" if parsed.__class__.__name__ == "DisjunctionMax"
                 else "or")
-        if eng._fusable(parsed.queries) and \
-                eng._fused_topk(parsed.queries, mode, 7,
-                                probe_blocks=4) is not None:
-            engaged += 1
+        if eng._fusable(parsed.queries):
+            eng._fused_topk(parsed.queries, mode, 7, probe_blocks=4)
+            if eng._fused_pruned:
+                engaged += 1
         for size in (5, 11):
             a = [(r.doc_id, r.score) for r in
                  eng.search(q, size=size, wand=True).collect()]
