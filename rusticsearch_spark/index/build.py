@@ -470,24 +470,24 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
     return out.withColumn("tf", F.lit(1))
 
 
-def _field_stats(spark: SparkSession, ids: DataFrame, postings_dir: str,
+def _field_stats(spark: SparkSession, ids: DataFrame, term_dict_dir: str,
                  config: IndexConfig) -> List[dict]:
     """Per-field (total_docs, total_tokens) — the reference's global
     ``ftdoc``/``fttok`` statistics (segment_builder.rs:91-117 summed
     across segments per rocksdb/search/statistics.rs:33-78).
 
     ``total_docs`` = docs where the field is present (one cheap
-    columnar count over all fields at once); ``total_tokens`` is
-    derived from the already-written compact posting blocks
-    (``sum(sum_tf)`` per field) so the corpus is tokenized exactly
-    once per build.  The same single postings scan also yields the
-    lineage block count — returns ``(stats_rows, n_blocks)``.
+    columnar count over all fields at once); ``total_tokens`` and the
+    lineage block count come from the already-aggregated term_dict
+    sidecar (``sum(sum_tf)`` / ``sum(n_blocks)`` per field) — the
+    postings metadata is never re-scanned.  Returns
+    ``(stats_rows, n_blocks)``.
     """
     doc_counts = ids.agg(*[
         F.count(F.col(f)).alias(f) for f in config.fields]).collect()[0]
-    tok_rows = (spark.read.parquet(postings_dir)
+    tok_rows = (spark.read.parquet(term_dict_dir)
                 .groupBy("field").agg(F.sum("sum_tf").alias("t"),
-                                      F.count("*").alias("b")).collect())
+                                      F.sum("n_blocks").alias("b")).collect())
     tok = {r.field: int(r.t) for r in tok_rows}
     n_blocks = sum(int(r.b) for r in tok_rows)
     return [{"field": f, "total_docs": int(doc_counts[f]),
@@ -604,20 +604,25 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
 
     # term-dictionary sidecar (term_dictionary.rs:78-85 analogue):
     # one narrow agg of the job's block metadata → (field, term,
-    # tbucket, df, n_blocks), range-sorted by (field, term) so prefix
-    # enumeration prunes parquet row groups via term min/max instead
-    # of scanning every tbucket partition's block metadata.
+    # tbucket, df, n_blocks), term-sorted within every file so the
+    # driver-side reader prunes parquet ROW GROUPS via term min/max
+    # (hash repartition + per-file sort: row-group ranges stay tight
+    # without repartitionByRange's sampling job, which would re-run
+    # the aggregate)
     dict_src = spark.read.parquet(layout.job_dir("postings", job)) \
         .groupBy("field", "term", "tbucket") \
         .agg(F.sum("df_block").cast("long").alias("df"),
-             F.count("*").cast("int").alias("n_blocks"))
-    (dict_src.repartitionByRange(max(1, shuffle_p // 4), "field", "term")
+             F.count("*").cast("int").alias("n_blocks"),
+             F.sum("sum_tf").cast("long").alias("sum_tf"))
+    (dict_src.repartition(max(1, shuffle_p // 4), "field", "term")
      .sortWithinPartitions("field", "term")
      .write.mode("overwrite").parquet(layout.job_dir("term_dict", job)))
     _trace("term_dict")
 
+    # field stats derive from the (tiny) dictionary — the postings
+    # metadata is scanned exactly once per job, by the dict agg above
     stats_rows, n_blocks = _field_stats(
-        spark, ids, layout.job_dir("postings", job), config)
+        spark, ids, layout.job_dir("term_dict", job), config)
     spark.createDataFrame(stats_rows).coalesce(1).write \
         .mode("overwrite").parquet(layout.job_dir("field_stats", job))
     _trace("field_stats")

@@ -123,14 +123,15 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
     dict_src = spark.read.parquet(out.job_dir("postings", 0)) \
         .groupBy("field", "term", "tbucket") \
         .agg(F.sum("df_block").cast("long").alias("df"),
-             F.count("*").cast("int").alias("n_blocks"))
-    (dict_src.repartitionByRange(max(1, shuffle_p // 4), "field", "term")
+             F.count("*").cast("int").alias("n_blocks"),
+             F.sum("sum_tf").cast("long").alias("sum_tf"))
+    (dict_src.repartition(max(1, shuffle_p // 4), "field", "term")
      .sortWithinPartitions("field", "term")
      .write.mode("overwrite").parquet(out.job_dir("term_dict", 0)))
 
     ids = spark.read.parquet(out.job_dir("docs", 0))
     stats, n_blocks = _field_stats(spark, ids,
-                                   out.job_dir("postings", 0), config)
+                                   out.job_dir("term_dict", 0), config)
     spark.createDataFrame(stats).coalesce(1).write.mode("overwrite") \
         .parquet(out.job_dir("field_stats", 0))
 

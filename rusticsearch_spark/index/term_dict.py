@@ -1,0 +1,136 @@
+"""Driver-side term-dictionary reader (the searcher's in-memory
+dictionary).
+
+The reference's searcher holds an in-memory TermDictionary and
+answers df / existence lookups without touching postings
+(/root/reference/src/search/backends/rocksdb/term_dictionary.rs:16-91).
+The analogue here reads the per-job ``term_dict`` sidecar parquet
+(range-sorted by ``(field, term)``) with pyarrow ON THE DRIVER: an
+exact-term lookup prunes to the row groups whose term min/max covers
+the probe — a few KB of IO however large the corpus — and returns
+``(df_global, n_blocks)`` summed across jobs.
+
+This is what lets the query planner GATE block-max pruning and attach
+``df_global`` to decode plans without spending a Spark metadata job
+per query: a term query is one decode job, full stop.  A small LRU
+memoizes repeated lookups per engine snapshot (the dictionary is
+immutable per committed lineage).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+from .layout import IndexLayout
+
+
+class TermDictReader:
+    """df/n_blocks lookups over the committed term_dict sidecars."""
+
+    def __init__(self, layout: IndexLayout,
+                 jobs: Optional[List[int]] = None):
+        if jobs is None:
+            jobs = layout.completed_jobs_local()
+        self.paths = [layout.job_dir("term_dict", j) for j in jobs
+                      if os.path.isdir(layout.job_dir("term_dict", j))]
+        self._cache: Dict[Tuple[str, str], Tuple[int, int]] = {}
+        self._fragments = None          # lazy pyarrow dataset
+
+    @staticmethod
+    def sidecar_complete(layout: IndexLayout,
+                         jobs: Optional[List[int]] = None) -> bool:
+        """True iff every committed job with postings has a term_dict
+        (a mixed legacy index must fall back to metadata-scan paths)."""
+        if jobs is None:
+            jobs = layout.completed_jobs_local()
+        return bool(jobs) and all(
+            os.path.isdir(layout.job_dir("term_dict", j))
+            for j in jobs
+            if os.path.isdir(layout.job_dir("postings", j)))
+
+    def _dataset(self):
+        if self._fragments is None:
+            import pyarrow.dataset as ds
+            # a list of DIRECTORY paths needs a union of per-dir
+            # datasets (pyarrow only unions file paths directly)
+            parts = [ds.dataset(p, format="parquet")
+                     for p in self.paths]
+            self._fragments = (ds.dataset(parts) if len(parts) != 1
+                               else parts[0])
+        return self._fragments
+
+    def lookup(self, pairs: List[Tuple[str, str]]
+               ) -> Dict[Tuple[str, str], Tuple[int, int]]:
+        """{(field, term): (df_global, n_blocks)} for every requested
+        pair present in the index; absent pairs are simply missing
+        from the result.  Row groups are pruned by the sorted ``term``
+        min/max statistics, so IO is bounded by the probe terms, not
+        the dictionary size."""
+        missing = [p for p in pairs if p not in self._cache]
+        if missing:
+            import pyarrow.dataset as ds
+            terms = sorted({t for _, t in missing})
+            tbl = self._dataset().to_table(
+                filter=ds.field("term").isin(terms),
+                columns=["field", "term", "df", "n_blocks"])
+            want = set(missing)
+            agg: Dict[Tuple[str, str], List[int]] = {}
+            for f, t, df, nb in zip(tbl.column("field").to_pylist(),
+                                    tbl.column("term").to_pylist(),
+                                    tbl.column("df").to_pylist(),
+                                    tbl.column("n_blocks").to_pylist()):
+                k = (f, t)
+                if k in want:
+                    cur = agg.setdefault(k, [0, 0])
+                    cur[0] += int(df)
+                    cur[1] += int(nb)
+            for k in missing:
+                v = agg.get(k)
+                self._cache[k] = (v[0], v[1]) if v else (0, 0)
+        return {p: self._cache[p] for p in pairs
+                if self._cache.get(p, (0, 0))[0] > 0}
+
+    def lookup_one(self, field: str, term: str) -> Tuple[int, int]:
+        """(df_global, n_blocks), (0, 0) when absent."""
+        got = self.lookup([(field, term)])
+        return got.get((field, term), (0, 0))
+
+    def prefix_stats(self, prefix: str) -> Tuple[int, List[int]]:
+        """(n_distinct_terms, sorted tbuckets) over the GLOBAL (all
+        fields) dictionary slice matching ``prefix`` — the reference
+        enumerates exactly this slice in memory on the searcher
+        (term_dictionary.rs:78-85).  Driver traffic is bounded by the
+        DICTIONARY slice (row-group pruned on the sorted term column),
+        never by postings; n feeds the MultiTerm Avg divisor and the
+        tbuckets prune the postings scan."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+        f = ds.field("term") >= prefix
+        hi = _prefix_upper(prefix)
+        if hi is not None:
+            f = f & (ds.field("term") < hi)
+        tbl = self._dataset().to_table(
+            filter=f, columns=["term", "tbucket"])
+        terms = pc.unique(tbl.column("term"))
+        if hi is None:
+            # unincrementable prefix (U+10FFFF tail): post-filter
+            terms = pc.unique(tbl.filter(
+                pc.starts_with(tbl.column("term"), prefix))
+                .column("term"))
+        tbs = sorted(pc.unique(tbl.column("tbucket")).to_pylist())
+        return len(terms), tbs
+
+
+def _prefix_upper(prefix: str) -> Optional[str]:
+    """Smallest string greater than every string with this prefix
+    (code-point order — identical for python str, Spark UTF8String,
+    and pyarrow utf8 comparisons)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000     # skip unencodable surrogate range
+            return prefix[:i] + chr(nxt)
+    return None

@@ -205,6 +205,13 @@ class SearchEngine:
             if _os.path.isdir(self.layout.job_dir("postings", j)))
         self.term_dict: Optional[DataFrame] = (
             _read("term_dict") if td_ok and jobs else None)
+        # driver-side dictionary reader (the reference's in-memory
+        # TermDictionary, term_dictionary.rs:16-91): answers df /
+        # n_blocks lookups from sorted-parquet row groups WITHOUT a
+        # Spark job — the pruning gate and decode df become free
+        from ..index.term_dict import TermDictReader
+        self.dict_reader: Optional[TermDictReader] = (
+            TermDictReader(self.layout, jobs) if td_ok and jobs else None)
         if cache_postings:
             # serving mode: pin the (compressed, small relative to the
             # corpus) block table in memory across queries
@@ -298,6 +305,9 @@ class SearchEngine:
             return self._live(self.docs.select("doc_id")).count()
         q = self.parse(query_json)
         if isinstance(q, dsl.Term) and self.deletions is None:
+            if self.dict_reader is not None:
+                # dictionary lookup: zero Spark jobs for a term count
+                return self.dict_reader.lookup_one(q.field, q.term)[0]
             # metadata-only: Σ df_block, no posting decode at all
             r = self._term_blocks(q.field, q.term) \
                 .agg(F.sum("df_block")).collect()[0][0]
@@ -415,17 +425,25 @@ class SearchEngine:
         self._fused_pruned = False
         n = len(children)
         blocks = self._fused_core(children)
-        # ONE cheap metadata job gates pruning AND supplies df_global
-        # per child + a per-child score ceiling — the full path needed
-        # an equivalent df aggregate anyway, so the gate adds no job.
-        meta = blocks.groupBy("child").agg(
-            F.sum("df_block").cast("long").alias("dfg"),
-            F.count("*").alias("nb"),
-            F.max("max_tf").alias("mtf"),
-            F.min("min_len").alias("mln")).collect()
-        if not meta or (mode == "and" and len(meta) < n):
+        # the gate needs (df, n_blocks) per child.  With the sidecar,
+        # that is a driver-side dictionary read — ZERO Spark jobs
+        # before the single decode job.  Legacy fallback: one cheap
+        # metadata aggregate (min/max column stats, no ub UDF).
+        if self.dict_reader is not None:
+            looked = self.dict_reader.lookup(
+                [(c.field, c.term) for c in children])
+            dfmap = {i: looked[(c.field, c.term)][0]
+                     for i, c in enumerate(children)
+                     if (c.field, c.term) in looked}
+            nbsum = sum(v[1] for v in looked.values())
+        else:
+            meta = blocks.groupBy("child").agg(
+                F.sum("df_block").cast("long").alias("dfg"),
+                F.count("*").alias("nb")).collect()
+            dfmap = {int(r.child): int(r.dfg) for r in meta}
+            nbsum = sum(int(r.nb) for r in meta)
+        if not dfmap or (mode == "and" and len(dfmap) < n):
             return ("none", None)      # a child has no postings at all
-        dfmap = {int(r.child): int(r.dfg) for r in meta}
         df_col = F.create_map(*[x for c, v in dfmap.items()
                                 for x in (F.lit(c), F.lit(v))]) \
             [F.col("child")].cast("long")
@@ -441,17 +459,23 @@ class SearchEngine:
                                  schema=_FUSED_SCHEMA))
             return ("df", self._fused_aggregate(rows, mode, n))
 
-        if (sum(r.nb for r in meta) <= 2 * probe_blocks * n
+        if (nbsum <= 2 * probe_blocks * n
                 or sum(dfmap.values()) < min_postings):
             return _full()             # decode is the cheaper plan
         self._fused_pruned = True
-        # Per-child ceiling M_j from the same metadata aggregate:
+        # Pruning pays its metadata aggregate only now that the gate
+        # says decode cost dominates.  Per-child ceiling M_j:
         # bm25(max over blocks of max_tf, min over blocks of min_len)
         # ≥ every per-block ub of child j (monotone ↑tf, ↓len).
         # Conservative (≥ the exact max block ub) ⇒ skip rule stays
-        # sound, and no ub UDF runs before the gate.
+        # sound, and no ub UDF runs before probe selection.
+        mm = blocks.groupBy("child").agg(
+            F.max("max_tf").alias("mtf"),
+            F.min("min_len").alias("mln")).collect()
         M = {}
-        for r in meta:
+        for r in mm:
+            if int(r.child) not in dfmap:
+                continue
             c = children[r.child]
             d, t = self.field_stats.get(c.field, (0, 0))
             u = bm25_f32(np.array([r.mtf], dtype=np.int64),
@@ -571,7 +595,18 @@ class SearchEngine:
         blocks = self._term_blocks(field, term)
         if (k is not None and needs_score and self.precision == "f32"
                 and scorer.similarity == dsl.BM25):
-            return self._wand_prune(blocks, field, scorer, k)
+            return self._wand_prune(blocks, field, scorer, k, term=term)
+        if not needs_score:
+            # scoring elided: df never reaches the decode (the
+            # reference's no_score path) — skip the df aggregate
+            return self._decode(
+                blocks.withColumn("df_global", F.lit(0).cast("long")),
+                field, scorer.similarity, scorer.boost, False)
+        if self.dict_reader is not None:
+            dfg, _ = self.dict_reader.lookup_one(field, term)
+            return self._decode(
+                blocks.withColumn("df_global", F.lit(dfg).cast("long")),
+                field, scorer.similarity, scorer.boost, True)
         return self._decode(self._with_global_df(blocks), field,
                             scorer.similarity, scorer.boost, needs_score)
 
@@ -593,7 +628,8 @@ class SearchEngine:
     def _wand_prune(self, blocks: DataFrame, field: str,
                     scorer: dsl.TermScorer, k: int,
                     probe_blocks: int = 16,
-                    min_postings: Optional[int] = None) -> DataFrame:
+                    min_postings: Optional[int] = None,
+                    term: Optional[str] = None) -> DataFrame:
         """Two-pass block-max pruning for single-term top-k with
         BOUNDED driver traffic — no term, however frequent, collects
         more than ``probe_blocks`` metadata rows + k scores:
@@ -621,16 +657,20 @@ class SearchEngine:
         if min_postings is None:
             min_postings = self.prune_min_postings
         self._wand_pruned = False
-        stats = blocks.agg(F.sum("df_block").alias("dfg"),
-                           F.count("*").alias("nb")).collect()[0]
-        df_global = int(stats.dfg or 0)
+        if self.dict_reader is not None and term is not None:
+            # driver-side dictionary lookup: no Spark job for the gate
+            df_global, nb = self.dict_reader.lookup_one(field, term)
+        else:
+            stats = blocks.agg(F.sum("df_block").alias("dfg"),
+                               F.count("*").alias("nb")).collect()[0]
+            df_global, nb = int(stats.dfg or 0), int(stats.nb or 0)
 
         def _full() -> DataFrame:
             return self._decode(
                 blocks.withColumn("df_global", F.lit(df_global)),
                 field, scorer.similarity, scorer.boost, True)
 
-        if (not stats.nb or stats.nb <= 2 * probe_blocks
+        if (not nb or nb <= 2 * probe_blocks
                 or df_global < min_postings):
             return _full()               # decode is the cheaper plan
         ub_udf = self._block_ub_udf(field, df_global, scorer.boost)
@@ -681,28 +721,32 @@ class SearchEngine:
         blocks = self.postings.where(
             (F.col("field") == q.field)
             & (F.col("term").startswith(q.prefix)))
-        if self.term_dict is not None:
-            tbs = [r.tbucket for r in
-                   (self.term_dict
-                    .where(F.col("term").startswith(q.prefix))
-                    .select("tbucket").distinct().collect())]
-            if not tbs:
+        nt_lit: Optional[int] = None
+        if self.dict_reader is not None:
+            # driver-side dictionary slice (the reference enumerates
+            # its in-memory dictionary the same way): the divisor
+            # becomes a literal and the postings scan prunes to only
+            # the tbucket partitions holding matching terms — ONE
+            # Spark job per prefix query
+            nt_lit, tbs = self.dict_reader.prefix_stats(q.prefix)
+            if not nt_lit:
                 return self.spark.createDataFrame([], schema=_SCORE_SCHEMA)
-            blocks = blocks.where(F.col("tbucket").isin(sorted(tbs)))
+            blocks = blocks.where(F.col("tbucket").isin(tbs))
         per_term = self._decode(self._with_global_df(blocks), q.field,
                                 q.scorer.similarity, q.scorer.boost,
                                 needs_score)
         if not needs_score:
             return per_term.select("doc_id").distinct() \
                 .withColumn("score", F.lit(0.0))
-        if self.term_dict is not None:
-            nt = (self.term_dict
-                  .where(F.col("term").startswith(q.prefix))
-                  .agg(F.countDistinct("term").alias("_nt")))
-        else:
-            nt = (self.postings
-                  .where(F.col("term").startswith(q.prefix))
-                  .agg(F.countDistinct("term").alias("_nt")))
+        if nt_lit is not None:
+            return (per_term.groupBy("doc_id")
+                    .agg(F.sum("score").alias("_s"))
+                    .select("doc_id",
+                            (F.col("_s") / F.lit(float(nt_lit)))
+                            .alias("score")))
+        nt = (self.postings
+              .where(F.col("term").startswith(q.prefix))
+              .agg(F.countDistinct("term").alias("_nt")))
         return (per_term.groupBy("doc_id").agg(F.sum("score").alias("_s"))
                 .crossJoin(F.broadcast(nt))
                 .select("doc_id",
