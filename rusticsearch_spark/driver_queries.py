@@ -774,6 +774,79 @@ FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+_IVF_K, _IVF_NPROBE = 8, 2
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: deterministic sampled coarse centroids (the 8
+    lowest corpus vec_ids), argmax-cosine assignment, probe the 2
+    lists nearest the query, exact cosine re-rank inside — the
+    inverted-list counterpart to the LSH variants (faiss IVF-flat
+    shape; centroid TRAINING is orthogonal to the plan)."""
+    from .ops.similarity import ann_topk_ivf
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.where(F.col("vec_id") == 0).first().embedding)
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding])
+             for r in emb.where((F.col("vec_id") >= 1)
+                                & (F.col("vec_id") <= _IVF_K))
+             .orderBy("vec_id").collect()]
+    return ann_topk_ivf(emb.where(F.col("vec_id") != 0), qvec, k=10,
+                        centroids=cents, nprobe=_IVF_NPROBE)
+
+
+def sql_ann_ivf():
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {_IVF_K}
+),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+vc_pairs AS (
+  SELECT v.vec_id, c.cid,
+         unnest(v.embedding)::DOUBLE AS a, unnest(c.ce)::DOUBLE AS b
+  FROM embeddings v CROSS JOIN cents c WHERE v.vec_id <> 0
+),
+vc_cos AS (
+  SELECT vec_id, cid,
+         SUM(a*b) / (SQRT(SUM(a*a)) * SQRT(SUM(b*b))) AS cc
+  FROM vc_pairs GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cc DESC, cid ASC) AS rn
+    FROM vc_cos) WHERE rn = 1
+),
+q_pairs AS (
+  SELECT c.cid, unnest(q.e)::DOUBLE AS a, unnest(c.ce)::DOUBLE AS b
+  FROM q CROSS JOIN cents c
+),
+q_cos AS (
+  SELECT cid, SUM(a*b) / (SQRT(SUM(a*a)) * SQRT(SUM(b*b))) AS cc
+  FROM q_pairs GROUP BY 1
+),
+q_probe AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY cc DESC, cid ASC) AS rn
+    FROM q_cos) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (SELECT a.vec_id FROM assigned a JOIN q_probe p USING (cid)),
+f_pairs AS (
+  SELECT v.vec_id, unnest(v.embedding)::DOUBLE AS a,
+         unnest(q.e)::DOUBLE AS b
+  FROM embeddings v JOIN cand USING (vec_id) CROSS JOIN q
+),
+dots AS (
+  SELECT vec_id, SUM(a * b) AS dot,
+         SQRT(SUM(a * a)) AS na, SQRT(SUM(b * b)) AS nb
+  FROM f_pairs GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (na * nb), 6) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding near-dup detection: hyperplane-bucket join + exact
     cosine verify inside buckets."""
@@ -1028,6 +1101,7 @@ QUERIES: Dict[str, Callable] = {
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_rh": q_ann_rh,
+    "ann_ivf": q_ann_ivf,
     "dedup_embedding": q_dedup_embedding,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1065,6 +1139,7 @@ ORACLES: Dict[str, str] = {
     "ann_cosine": sql_ann_cosine(),
     "ann_lsh": sql_ann_lsh(),
     "ann_rh": sql_ann_rh(),
+    "ann_ivf": sql_ann_ivf(),
     "dedup_embedding": sql_dedup_embedding(),
     "text_quality": sql_text_quality(),
     "lang_id": sql_lang_id(),

@@ -154,3 +154,72 @@ def ann_topk_hyperplane(df: DataFrame, query_vec: List[float],
         c = hyperplane_bucket_expr(vec_col, planes) == qb
         cond = c if cond is None else (cond | c)
     return cosine_topk(df.where(cond), query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------
+# IVF-flat (coarse-quantizer inverted lists) — the other standard ANN
+# shape besides LSH: assign every vector to its nearest coarse
+# centroid, probe only the query's nprobe nearest lists, exact-rerank
+# inside.  Centroids here are deterministic SAMPLED vectors (the
+# lowest-id corpus vectors) rather than k-means iterates, so the SAME
+# assignment is expressible in ANSI SQL for the oracle; swapping in
+# trained centroids changes recall, not the plan shape.  At 100 TB the
+# assignment is one narrow map pass and the probe scans
+# nprobe/K of the corpus.
+# ---------------------------------------------------------------------
+
+def cosine_to_lit_expr(vec_col: str, vec: List[float]) -> Column:
+    """cos(v, literal) — dot/(‖v‖·‖c‖), sequential double accumulation
+    (‖c‖ folded to a python-double literal: same sequential sum)."""
+    import math
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), lit,
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nc = 0.0
+    for x in vec:
+        nc += float(x) * float(x)
+    return dot / (norm_expr(vec_col) * F.lit(math.sqrt(nc)))
+
+
+def ivf_assign_expr(vec_col: str, centroids) -> Column:
+    """Centroid id of the max-cosine centroid for each row; ties break
+    to the LOWEST centroid id (struct array_max: cos asc then -cid)."""
+    pairs = [F.struct(cosine_to_lit_expr(vec_col, vec).alias("c"),
+                      F.lit(-int(cid)).alias("n"))
+             for cid, vec in centroids]
+    best = F.array_max(F.array(*pairs))
+    return (-best["n"]).cast("long")
+
+
+def cosine_py(a, b) -> float:
+    """Driver-side cosine, same sequential-double formula."""
+    import math
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ann_topk_ivf(df: DataFrame, query_vec: List[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroids=None, nprobe: int = 2) -> DataFrame:
+    """IVF top-k: probe the ``nprobe`` centroid lists nearest the
+    query, exact cosine re-rank inside the probed lists.
+
+    ``centroids``: [(cid, vector)] — deterministic, supplied by the
+    caller (sampled or trained).  A true neighbour is missed only if
+    its assigned centroid is outside the query's nprobe nearest —
+    recall rises with nprobe at a proportional scan cost
+    (nprobe/K of the corpus)."""
+    if not centroids:
+        raise ValueError("centroids required")
+    ranked = sorted(((cosine_py(query_vec, vec), -int(cid))
+                     for cid, vec in centroids), reverse=True)
+    probe = [-n for _, n in ranked[:nprobe]]
+    pruned = df.where(ivf_assign_expr(vec_col, centroids).isin(probe))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)

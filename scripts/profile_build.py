@@ -1,6 +1,16 @@
-"""Phase-level build profiling at a given parallelism.
+"""Phase-level build profiling at a given parallelism — attribution
+evidence for the scaling story: which build phase stops scaling when
+cores share one memory subsystem.
 
-    python scripts/profile_build.py <cpus>
+    taskset -c 0-(N-1) python scripts/profile_build.py <cpus> [src_parquet]
+
+Phases measured independently (each materializes to a throwaway
+count/write so Spark executes exactly that slice of the build):
+  read+count      — parquet scan of the source
+  ids+docs_write  — doc-id window + docs table write
+  tokenize        — _posting_rows up to a count (no shuffle write)
+  full_encode     — the real postings pipeline (shuffle + sort +
+                    Arrow encoder + partitioned write)
 """
 import os
 import shutil
@@ -9,55 +19,67 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = int(sys.argv[1])
+SRC = sys.argv[2] if len(sys.argv) > 2 else \
+    "/tmp/rusticsearch_bench_src_sf0.1_128"
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 spark = (SparkSession.builder.master(f"local[{CPUS}]")
          .config("spark.sql.shuffle.partitions", "64")
          .config("spark.sql.files.maxPartitionBytes", "8m")
          .config("spark.sql.files.openCostInBytes", "1m")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
          .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.buffer.pageSize", "1m")
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-from rusticsearch_spark.index.build import (assign_doc_ids, tokenize_udf,
-                                            _posting_rows, _encode_partitions,
-                                            POSTINGS_SCHEMA)
-from rusticsearch_spark.index.layout import IndexConfig
 from rusticsearch_spark.analysis.analyzers import AnalyzerRegistry
+from rusticsearch_spark.index.build import (POSTINGS_SCHEMA,
+                                            _encode_partitions_arrow,
+                                            _posting_rows, assign_doc_ids)
 from rusticsearch_spark.index.codec import SEGMENT_BITS
+from rusticsearch_spark.index.layout import IndexConfig, term_bucket_col
 
-SRC = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rusticsearch_bench_src_sf0.1_16"
-docs = spark.read.parquet(SRC)
 cfg = IndexConfig(key_col="url", fields={"text": "standard", "lang": None},
-                  n_buckets=64, tbuckets=8, shuffle_partitions=64)
+                  n_buckets=64, tbuckets=4, shuffle_partitions=64)
 reg = AnalyzerRegistry()
-
-def phase(name, fn):
-    t0 = time.monotonic()
-    r = fn()
-    print(f"{name}: {time.monotonic()-t0:.1f}s", flush=True)
-    return r
-
 out = f"/tmp/profile_idx_{CPUS}"
 shutil.rmtree(out, ignore_errors=True)
 os.makedirs(out)
 
+
+def phase(name, fn):
+    t0 = time.monotonic()
+    fn()
+    print(f"[profile cpus={CPUS}] {name}: {time.monotonic() - t0:.1f}s",
+          flush=True)
+
+
+docs = spark.read.parquet(SRC)
 phase("read+count", lambda: docs.count())
-ids = assign_doc_ids(docs, "url", 64).drop("_bucket")
-phase("docs_write(window+ids)", lambda: ids.select("doc_id", "url", "text", "lang")
+
+ids = assign_doc_ids(docs, "url", cfg.n_buckets).drop("_bucket")
+phase("ids+docs_write", lambda: ids.select("doc_id", "url", "text", "lang")
       .write.mode("overwrite").parquet(out + "/docs"))
+
 ids2 = spark.read.parquet(out + "/docs")
-flat = _posting_rows(ids2, cfg, reg).withColumn(
-    "segment", F.shiftrightunsigned("doc_id", SEGMENT_BITS))
-phase("tokenize_only(count)", lambda: flat.count())
-encoded = (flat.repartition(64, "field", "term", "segment")
-           .sortWithinPartitions("field", "term", "segment", "doc_id")
-           .mapInPandas(_encode_partitions(8), schema=POSTINGS_SCHEMA))
-phase("encode_write", lambda: (encoded
-    .repartitionByRange(64, "field", "term", "segment")
-    .sortWithinPartitions("tbucket", "field", "term", "segment")
-    .write.mode("overwrite").partitionBy("tbucket").parquet(out + "/postings")))
+flat = _posting_rows(ids2, cfg, reg, precount=cfg.precount)
+phase("tokenize", lambda: flat.count())
+
+phase("full_encode", lambda: (
+    flat.repartition(64, "field_ord", "term",
+                     F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+    .withColumn("segment", F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+    .withColumn("tbucket", term_bucket_col(F.col("term"), cfg.tbuckets))
+    .withColumn("gkey", F.xxhash64("field_ord", "term", "segment"))
+    .sortWithinPartitions("tbucket", "field_ord", "term", "segment",
+                          "doc_id")
+    .mapInArrow(_encode_partitions_arrow(list(cfg.fields)),
+                schema=POSTINGS_SCHEMA)
+    .write.mode("overwrite").partitionBy("tbucket")
+    .parquet(out + "/postings")))
 spark.stop()

@@ -1,0 +1,69 @@
+"""Quick build-only scaling experiments: variants × core counts.
+
+    python scripts/scale_exp.py <cpus> <variant> [replicate]
+
+Variants: base | precount0 | zstd
+Prints one JSON line with build seconds + docs/sec.
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(sys.argv[1])
+VARIANT = sys.argv[2]
+REP = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    from pyspark.sql import SparkSession
+    b = (SparkSession.builder.master(f"local[{CPUS}]")
+         .appName(f"scale-exp-{CPUS}-{VARIANT}")
+         .config("spark.sql.shuffle.partitions",
+                 os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
+         .config("spark.sql.files.maxPartitionBytes", "8m")
+         .config("spark.sql.files.openCostInBytes", "1m")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.buffer.pageSize", "1m")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false"))
+    if VARIANT == "zstd":
+        b = b.config("spark.io.compression.codec", "zstd")
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+    from rusticsearch_spark.synth.webtext import webtext_table
+
+    src = f"/tmp/rusticsearch_bench_src_{os.path.basename(SF)}_{REP}"
+    if not os.path.exists(src + "/_SUCCESS"):
+        shutil.rmtree(src, ignore_errors=True)
+        webtext_table(spark, SF, replicate=REP).repartition(64) \
+            .write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+    n = docs.count()
+    idx = f"/tmp/scale_exp_idx_{CPUS}"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(key_col="url",
+                      fields={"text": "standard", "lang": None},
+                      n_buckets=64, tbuckets=4,
+                      shuffle_partitions=int(os.environ.get(
+                          "SPARK_GRAFT_SHUFFLE", "64")),
+                      precount=(VARIANT != "precount0"))
+    t0 = time.monotonic()
+    build_index(spark, docs, idx, cfg, jobs=1)
+    sec = time.monotonic() - t0
+    print(json.dumps({"cpus": CPUS, "variant": VARIANT, "n_docs": n,
+                      "build_sec": round(sec, 2),
+                      "docs_per_sec": round(n / sec, 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

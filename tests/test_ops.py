@@ -223,3 +223,30 @@ def test_hash_sample_deterministic_and_disjoint(spark):
     # different salt → a different (roughly independent) sample
     c = {r.doc_id for r in hash_sample(df, 100, salt="eval").collect()}
     assert c != a
+
+
+def test_ann_ivf_matches_bruteforce_top1_and_finds_duplicate(spark, emb):
+    """IVF-flat with sampled centroids: (a) an exact duplicate vector
+    is always found (identical vector ⇒ identical assignment ⇒ same
+    probed list); (b) results are a subset of the corpus ranked by
+    exact cosine; (c) probing ALL lists equals brute force exactly."""
+    from rusticsearch_spark.ops.similarity import (ann_topk_ivf,
+                                                   cosine_topk)
+    qvec = list(emb.where(F.col("vec_id") == 0).first().embedding)
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding])
+             for r in emb.where((F.col("vec_id") >= 1)
+                                & (F.col("vec_id") <= 6))
+             .orderBy("vec_id").collect()]
+    corpus = emb.where(F.col("vec_id") != 0).select("vec_id", "embedding")
+    # plant an exact duplicate of the query
+    dup = spark.createDataFrame([(999999, qvec)], corpus.schema)
+    full = corpus.unionByName(dup)
+    got = ann_topk_ivf(full, qvec, k=5, centroids=cents, nprobe=2)
+    rows = got.collect()
+    assert rows[0].vec_id == 999999 and rows[0].cos == 1.0
+    # nprobe = K ⇒ no pruning ⇒ identical to brute force
+    all_probe = ann_topk_ivf(corpus, qvec, k=10, centroids=cents,
+                             nprobe=len(cents)).collect()
+    brute = cosine_topk(corpus, qvec, k=10).collect()
+    assert [(r.vec_id, r.cos) for r in all_probe] == \
+        [(r.vec_id, r.cos) for r in brute]
