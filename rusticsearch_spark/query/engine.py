@@ -883,6 +883,76 @@ class SearchEngine:
             return ("df", frame)
         return ("df", val.join(fset, "doc_id", "left_anti"))
 
+    def _nested_groups(self, children):
+        """[(inner_mode, (Term, ...))] when every child is a Term or a
+        one-level fusable combinator of Terms — the multi_match shape
+        DisMax(Disjunction(f1 terms), Disjunction(f2 terms)).  None
+        when the shape (or a mixed inner mode, duplicate leaf, or
+        mixed similarity) doesn't allow a single fused decode."""
+        groups, inner_modes = [], set()
+        for c in children:
+            if isinstance(c, dsl.Term):
+                groups.append(("or", (c,)))      # singleton: mode moot
+            elif isinstance(c, (dsl.Conjunction, dsl.Disjunction,
+                                dsl.DisjunctionMax)) \
+                    and self._fusable(c.queries):
+                m = ("and" if isinstance(c, dsl.Conjunction) else
+                     "or" if isinstance(c, dsl.Disjunction) else "max")
+                groups.append((m, tuple(c.queries)))
+                inner_modes.add(m)
+            else:
+                return None
+        if len(inner_modes) > 1 or len(groups) < 2:
+            return None
+        leaves = [t for _, ts in groups for t in ts]
+        if len(leaves) < 2 or len({(t.field, t.term) for t in leaves}) \
+                != len(leaves):
+            return None                  # dup leaf would double dfagg
+        if len({t.scorer.similarity for t in leaves}) != 1:
+            return None
+        return groups
+
+    def _fused_nested(self, groups, outer_mode: str) -> DataFrame:
+        """ONE decode job for a two-level combinator tree: decode all
+        leaf terms fused, aggregate per (doc, group) with the inner
+        combinator, then across groups with the outer one.  Exact
+        same Avg-over-child-count / Max semantics as the recursive
+        path (score_function.rs:21-38,74-88), one job instead of one
+        per group."""
+        flat, gidx = [], []
+        for g, (_, terms) in enumerate(groups):
+            for t in terms:
+                flat.append(t)
+                gidx.append(g)
+        inner = next((m for m, ts in groups if len(ts) > 1), "or")
+        rows = self._fused_frame(flat)
+        g_map = F.create_map(*[x for i, g in enumerate(gidx)
+                               for x in (F.lit(i), F.lit(g))])
+        n_map = F.create_map(*[x for g, (_, ts) in enumerate(groups)
+                               for x in (F.lit(g), F.lit(len(ts)))])
+        per = (rows.withColumn("g", g_map[F.col("child")])
+               .groupBy("doc_id", "g")
+               .agg(F.count("*").alias("c"), F.sum("score").alias("s"),
+                    F.max("score").alias("m")))
+        n_col = n_map[F.col("g")].cast("double")
+        if inner == "and":
+            per = per.where(F.col("c") == n_map[F.col("g")])
+            gs = F.col("s") / n_col
+        elif inner == "or":
+            gs = F.col("s") / n_col
+        else:
+            gs = F.col("m")
+        per = per.select("doc_id", gs.alias("gs"))
+        ng = float(len(groups))
+        top = per.groupBy("doc_id")
+        if outer_mode == "max":
+            return top.agg(F.max("gs").alias("score"))
+        if outer_mode == "or":
+            return top.agg((F.sum("gs") / F.lit(ng)).alias("score"))
+        agg = top.agg(F.count("*").alias("c"), F.sum("gs").alias("s"))
+        return agg.where(F.col("c") == len(groups)).select(
+            "doc_id", (F.col("s") / F.lit(ng)).alias("score"))
+
     def _combine(self, children: Tuple[dsl.Query, ...], mode: str) -> Scored:
         """Avg (and/or) and Max combinators over child frames.
 
@@ -904,6 +974,9 @@ class SearchEngine:
                 return ("df", g.agg((F.sum("score") / F.lit(float(n)))
                                     .alias("score")))
             return ("df", g.agg(F.max("score").alias("score")))
+        groups = self._nested_groups(children)
+        if groups is not None:
+            return ("df", self._fused_nested(groups, mode))
         scored = [self._score(c) for c in children]
         n = len(scored)
         if n == 0:

@@ -165,3 +165,28 @@ def test_fused_multiterm_pruning_matches_full_eval(spark, webtext,
                  eng.search(q, size=size, wand=False).collect()]
             assert a == b, (q, size)
     assert engaged >= 2   # pruning path actually exercised
+
+
+def test_nested_fused_combine_matches_generic(engine):
+    """Two-level fused decode (multi_match: DisMax over per-field
+    Disjunctions in ONE decode job) must equal the recursive
+    per-group evaluation exactly — ids AND scores."""
+    queries = [
+        {"multi_match": {"query": "spark merge", "fields": ["text^2",
+                                                            "lang"]}},
+        {"multi_match": {"query": "table scan", "fields": ["text", "lang"],
+                         "operator": "and"}},
+    ]
+    for q in queries:
+        parsed = engine.parse(q)
+        assert engine._nested_groups(parsed.queries) is not None, q
+        a = [(r.doc_id, r.score) for r in
+             engine.search(q, size=15).collect()]
+        bak = engine._nested_groups
+        engine._nested_groups = lambda ch: None
+        try:
+            b = [(r.doc_id, r.score) for r in
+                 engine.search(q, size=15).collect()]
+        finally:
+            engine._nested_groups = bak
+        assert a == b and len(a) > 0, q
