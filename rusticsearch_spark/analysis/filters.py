@@ -9,9 +9,19 @@ ASCII entries).  Characters outside the table (Greek, Cyrillic, kana
 with dakuten, CJK, ...) are left untouched, which is exactly the
 Lucene/reference behavior for non-Latin scripts
 (asciifolding.rs:69-83 golden: こんにちは unchanged).  Parity is
-pinned by the ported goldens in ``tests/test_filters.py`` plus a
-full-table enumeration test; an NFKD cross-check test documents
-where the table and a decomposition-based fold agree.
+pinned by the ported goldens in ``tests/test_analysis.py`` plus a
+full-table enumeration test and an independent NFKD cross-check
+(the table must agree with a decomposition-based fold wherever both
+apply, and hand-pinned goldens cover non-decomposable entries).
+
+NOTE — analyzer versioning: swapping the fold implementation (as
+round 3 did, NFKD → full Lucene table) changes analysis output for
+some characters, so an index built under an older pipeline is
+analyzer-mismatched with queries analyzed by a newer one.  The
+pipeline version is stamped into ``IndexConfig.analysis_version`` at
+build time and checked at engine open; bump
+``analysis.ANALYSIS_VERSION`` whenever tokenizer/filter behavior
+changes, which forces a reindex instead of silent mismatches.
 """
 
 from __future__ import annotations

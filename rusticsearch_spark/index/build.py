@@ -510,6 +510,10 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
     done: List[int] = layout.completed_jobs(spark) if resume else []
     if not resume:
+        # stamp the analysis-pipeline version the index is built with
+        # (checked at engine open — analyzer changes force a reindex)
+        from ..analysis import ANALYSIS_VERSION
+        config.analysis_version = ANALYSIS_VERSION
         layout.write_config(config)
     buckets_per_job = -(-config.n_buckets // jobs)  # ceil
     shuffle_p = (config.shuffle_partitions

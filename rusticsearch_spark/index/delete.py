@@ -46,10 +46,13 @@ def delete_documents(spark: SparkSession, index_dir: str,
     if keys is not None:
         # PK lookup through the doc_index sidecar: reads only the
         # kbucket partitions the keys hash into (document_index.rs
-        # k<doc_key> point lookup), not every docs dir
+        # k<doc_key> point lookup), not every docs dir.  Probe values
+        # are shipped as strings; resolve_keys casts them back to the
+        # INDEXED key type before hashing so non-string keys (e.g. a
+        # long PK) land in the right kbucket partitions.
         from .doc_index import resolve_keys
         keys_df = spark.createDataFrame(
-            [(k,) for k in keys], f"{config.key_col} string")
+            [(str(k),) for k in keys], f"{config.key_col} string")
         resolved = resolve_keys(spark, layout, config, keys_df)
         if resolved is None:
             return 0

@@ -74,7 +74,15 @@ def resolve_keys(spark: SparkSession, layout: IndexLayout,
                  if os.path.isdir(layout.job_dir("docs", j))]
     if not docs_dirs:
         return None
-    keys = keys.select(config.key_col).distinct()
+    # Cast the probe keys to the INDEXED key type before hashing: the
+    # kbucket is xxhash64 over the natural column type, so a
+    # string-typed probe against e.g. a long key column would hash to
+    # different buckets and silently match nothing.  Schema read is
+    # driver-side parquet-footer metadata — no Spark job.
+    key_type = (spark.read.option("basePath", layout.table("docs"))
+                .parquet(*docs_dirs).schema[config.key_col].dataType)
+    keys = (keys.select(F.col(config.key_col).cast(key_type))
+            .where(F.col(config.key_col).isNotNull()).distinct())
     if _sidecar_complete(layout, jobs):
         idx_dirs = [layout.job_dir("doc_index", j) for j in jobs
                     if os.path.isdir(layout.job_dir("doc_index", j))]

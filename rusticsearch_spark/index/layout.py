@@ -69,6 +69,14 @@ class IndexConfig:
     kbuckets: int = 64
     shuffle_partitions: Optional[int] = None
     analysis_settings: Optional[dict] = None  # ES-style custom analyzers
+    #: stamp of the analysis pipeline the index was BUILT with
+    #: (analysis.ANALYSIS_VERSION).  The engine refuses to open an
+    #: index whose stamp differs from the running code's — an
+    #: analyzer behavior change silently un-matches indexed terms
+    #: from query terms otherwise.  Configs persisted before the
+    #: stamp existed default to the current version (the stamp was
+    #: introduced together with fold v2).
+    analysis_version: int = 2
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)

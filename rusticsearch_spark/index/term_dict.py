@@ -96,6 +96,53 @@ class TermDictReader:
         got = self.lookup([(field, term)])
         return got.get((field, term), (0, 0))
 
+    def selector_stats(self, field: str, match_fn, prefix_hint: str = "",
+                       max_terms: int = 65536
+                       ) -> Tuple[int, List[str], List[int]]:
+        """(n_global_terms, field_terms_sorted, field_tbuckets) for an
+        arbitrary term selector — the dictionary-driven generalization
+        behind wildcard/fuzzy (the reference DECLARES these selectors
+        but implements only Prefix, multi_term_selector.rs:3-16).
+
+        ``match_fn(term) -> bool`` runs on the driver over the
+        DICTIONARY slice only (optionally range-pruned by
+        ``prefix_hint``, e.g. a wildcard's literal prefix or a fuzzy
+        query's prefix_length chars) — driver traffic is bounded by
+        the dictionary, never by postings.  ``n_global_terms`` counts
+        matching terms across EVERY field (the index-wide dictionary
+        feeds the MultiTerm Avg divisor, term_dictionary.rs:78-85);
+        the term list + tbuckets prune the postings scan for the
+        QUERY field.  Raises when more than ``max_terms`` distinct
+        terms match (the same driver-safety bound ES enforces via
+        max_expansions)."""
+        import pyarrow.dataset as ds
+        filt = None
+        if prefix_hint:
+            filt = ds.field("term") >= prefix_hint
+            hi = _prefix_upper(prefix_hint)
+            if hi is not None:
+                filt = filt & (ds.field("term") < hi)
+        tbl = self._dataset().to_table(
+            filter=filt, columns=["field", "term", "tbucket"])
+        memo: Dict[str, bool] = {}
+        fterms, ftbs = set(), set()
+        n_global = 0
+        for fld, t, tb in zip(tbl.column("field").to_pylist(),
+                              tbl.column("term").to_pylist(),
+                              tbl.column("tbucket").to_pylist()):
+            hit = memo.get(t)
+            if hit is None:
+                hit = memo[t] = bool(match_fn(t))
+                if hit:
+                    n_global += 1
+                    if n_global > max_terms:
+                        raise ValueError(
+                            f"selector matches more than {max_terms} terms")
+            if hit and fld == field:
+                fterms.add(t)
+                ftbs.add(int(tb))
+        return n_global, sorted(fterms), sorted(ftbs)
+
     def prefix_stats(self, prefix: str) -> Tuple[int, List[int]]:
         """(n_distinct_terms, sorted tbuckets) over the GLOBAL (all
         fields) dictionary slice matching ``prefix`` — the reference

@@ -65,6 +65,37 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """MultiTerm with a wildcard selector (``*`` = any run, ``?`` =
+    one char).  The reference declares the selector enum slot but
+    never implements it (multi_term_selector.rs:3-16); scoring reuses
+    the same Avg-over-global-dictionary machinery as Prefix."""
+    field: str
+    pattern: str
+    scorer: TermScorer = TermScorer()
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """MultiTerm with a Levenshtein selector: matches dictionary
+    terms within ``fuzziness`` edits of ``term`` (ES semantics:
+    value is NOT analyzed; AUTO fuzziness = 0/1/2 by term length;
+    ``prefix_length`` chars must match exactly, which also prunes
+    the dictionary scan)."""
+    field: str
+    term: str
+    fuzziness: int = 1
+    prefix_length: int = 0
+    scorer: TermScorer = TermScorer()
+
+
+def auto_fuzziness(term: str) -> int:
+    """ES AUTO rule: <3 chars → 0 edits, 3-5 → 1, >5 → 2."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+@dataclass(frozen=True)
 class Conjunction:
     queries: Tuple["Query", ...]
 
@@ -91,8 +122,8 @@ class Exclude:
     exclude: "Query"  # score-less
 
 
-Query = Union[All, NoneQuery, Term, Prefix, Conjunction, Disjunction,
-              DisjunctionMax, Filter, Exclude]
+Query = Union[All, NoneQuery, Term, Prefix, Wildcard, Fuzzy, Conjunction,
+              Disjunction, DisjunctionMax, Filter, Exclude]
 
 
 def boost(q: Query, factor: float) -> Query:
@@ -106,7 +137,7 @@ def boost(q: Query, factor: float) -> Query:
     if isinstance(q, Term):
         return replace(q, scorer=replace(q.scorer,
                                          boost=q.scorer.boost * factor))
-    if isinstance(q, Prefix):
+    if isinstance(q, (Prefix, Wildcard, Fuzzy)):
         return replace(q, scorer=replace(q.scorer,
                                          boost=q.scorer.boost * factor))
     if isinstance(q, (Conjunction, Disjunction, DisjunctionMax)):
@@ -288,6 +319,55 @@ def _parse_prefix(body: dict, ctx: ParseContext) -> Query:
     return boost(Prefix(fname, _as_string(value)), boost_v)
 
 
+def _parse_wildcard(body: dict, ctx: ParseContext) -> Query:
+    """ES-style wildcard query: {"wildcard": {field: "pa*t?rn"}} or
+    the object form with 'value'/'wildcard' + 'boost' keys.  The
+    pattern is NOT analyzed (it addresses dictionary terms directly,
+    like prefix/term)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryParseError("wildcard expects exactly one field")
+    fname, spec = next(iter(body.items()))
+    if fname not in ctx.fields:
+        raise QueryParseError(f"unknown field: {fname!r}")
+    if isinstance(spec, dict):
+        value = spec.get("value", spec.get("wildcard"))
+        if value is None:
+            raise QueryParseError("wildcard missing 'value'")
+        boost_v = float(spec.get("boost", 1.0))
+    else:
+        value, boost_v = spec, 1.0
+    return boost(Wildcard(fname, _as_string(value)), boost_v)
+
+
+def _parse_fuzzy(body: dict, ctx: ParseContext) -> Query:
+    """ES-style fuzzy query: {"fuzzy": {field: "value"}} or the
+    object form with 'value', 'fuzziness' (int or "AUTO", default
+    AUTO), 'prefix_length', 'boost'."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryParseError("fuzzy expects exactly one field")
+    fname, spec = next(iter(body.items()))
+    if fname not in ctx.fields:
+        raise QueryParseError(f"unknown field: {fname!r}")
+    fuzz, plen, boost_v = "AUTO", 0, 1.0
+    if isinstance(spec, dict):
+        value = spec.get("value")
+        if value is None:
+            raise QueryParseError("fuzzy missing 'value'")
+        fuzz = spec.get("fuzziness", "AUTO")
+        plen = int(spec.get("prefix_length", 0))
+        boost_v = float(spec.get("boost", 1.0))
+    else:
+        value = spec
+    value = _as_string(value)
+    if isinstance(fuzz, str):
+        if fuzz.upper() != "AUTO":
+            raise QueryParseError(f"bad fuzziness: {fuzz!r}")
+        fuzz = auto_fuzziness(value)
+    if not (0 <= int(fuzz) <= 2):
+        raise QueryParseError("fuzziness must be 0..2")
+    return boost(Fuzzy(fname, value, int(fuzz), plen), boost_v)
+
+
 def _parse_and(body, ctx: ParseContext) -> Query:
     if not isinstance(body, list):
         raise QueryParseError("'and' expects a list")
@@ -341,6 +421,8 @@ _PARSERS = {
     "terms": _parse_terms,
     "in": _parse_terms,
     "prefix": _parse_prefix,
+    "wildcard": _parse_wildcard,
+    "fuzzy": _parse_fuzzy,
     "and": _parse_and,
     "or": _parse_or,
     "dis_max": _parse_dis_max,

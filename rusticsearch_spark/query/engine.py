@@ -61,6 +61,52 @@ Scored = Tuple[str, object]             # ("all", const) | ("none", None)
                                         # | ("df", DataFrame(doc_id, score))
 
 
+def wildcard_regex(pattern: str) -> Tuple[str, str]:
+    """(anchored regex, literal prefix before the first wildcard).
+    ``*`` → any run, ``?`` → one char; everything else is literal.
+    The literal prefix range-prunes the dictionary scan exactly like
+    a prefix query's bounds."""
+    import re as _re
+    out: List[str] = []
+    lit: List[str] = []
+    literal_so_far = True
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+            literal_so_far = False
+        elif ch == "?":
+            out.append(".")
+            literal_so_far = False
+        else:
+            out.append(_re.escape(ch))
+            if literal_so_far:
+                lit.append(ch)
+    return "^" + "".join(out) + "$", "".join(lit)
+
+
+def editdist_leq(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a, b) <= k — banded DP, O(len·k); must agree with
+    Spark's F.levenshtein and DuckDB's levenshtein() (plain unit-cost
+    edit distance, no transpositions)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if k == 0:
+        return a == b
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            cur.append(v)
+            row_min = min(row_min, v)
+        if row_min > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
 def _decode_score_fn(total_docs: int, total_tokens: int, similarity: str,
                      boost: float, needs_score: bool,
                      precision: str = "f32"):
@@ -177,6 +223,13 @@ class SearchEngine:
         self._fused_pruned = False
         self.layout = IndexLayout(index_dir)
         self.config: IndexConfig = self.layout.read_config()
+        from ..analysis import ANALYSIS_VERSION
+        if self.config.analysis_version != ANALYSIS_VERSION:
+            raise ValueError(
+                f"index at {index_dir} was built with analysis pipeline "
+                f"v{self.config.analysis_version}, this code analyzes "
+                f"queries with v{ANALYSIS_VERSION}: indexed terms and "
+                f"query terms would silently mismatch — reindex required")
         if self.config.analysis_settings:
             self.registry = parse_analysis_settings(
                 self.config.analysis_settings)
@@ -203,12 +256,13 @@ class SearchEngine:
             _os.path.isdir(self.layout.job_dir("term_dict", j))
             for j in jobs
             if _os.path.isdir(self.layout.job_dir("postings", j)))
-        self.term_dict: Optional[DataFrame] = (
-            _read("term_dict") if td_ok and jobs else None)
         # driver-side dictionary reader (the reference's in-memory
         # TermDictionary, term_dictionary.rs:16-91): answers df /
         # n_blocks lookups from sorted-parquet row groups WITHOUT a
-        # Spark job — the pruning gate and decode df become free
+        # Spark job — the pruning gate and decode df become free.
+        # Every dictionary consumer goes through this reader; no
+        # Spark-side term_dict DataFrame is held (it would only pin
+        # an unused table in executor memory in serving mode).
         from ..index.term_dict import TermDictReader
         self.dict_reader: Optional[TermDictReader] = (
             TermDictReader(self.layout, jobs) if td_ok and jobs else None)
@@ -216,8 +270,6 @@ class SearchEngine:
             # serving mode: pin the (compressed, small relative to the
             # corpus) block table in memory across queries
             self.postings = self.postings.cache()
-            if self.term_dict is not None:
-                self.term_dict = self.term_dict.cache()
         stats = _read("field_stats") \
             .groupBy("field").agg(F.sum("total_docs").alias("d"),
                                   F.sum("total_tokens").alias("t")).collect()
@@ -732,26 +784,85 @@ class SearchEngine:
             if not nt_lit:
                 return self.spark.createDataFrame([], schema=_SCORE_SCHEMA)
             blocks = blocks.where(F.col("tbucket").isin(tbs))
-        per_term = self._decode(self._with_global_df(blocks), q.field,
-                                q.scorer.similarity, q.scorer.boost,
+        nt_frame = None
+        if nt_lit is None:
+            nt_frame = (self.postings
+                        .where(F.col("term").startswith(q.prefix))
+                        .agg(F.countDistinct("term").alias("_nt")))
+        return self._multiterm_avg(blocks, q.field, q.scorer,
+                                   nt_lit, nt_frame, needs_score)
+
+    def _multiterm_avg(self, blocks: DataFrame, field: str,
+                       scorer: dsl.TermScorer, nt_lit: Optional[int],
+                       nt_frame: Optional[DataFrame],
+                       needs_score: bool) -> DataFrame:
+        """Shared MultiTerm tail (score_function.rs:61-79): decode the
+        selected blocks, per-doc Avg over the GLOBAL dictionary's
+        matching-term count — a literal when the driver-side
+        dictionary supplied it (zero extra jobs), else a broadcast
+        1-row crossJoin."""
+        per_term = self._decode(self._with_global_df(blocks), field,
+                                scorer.similarity, scorer.boost,
                                 needs_score)
         if not needs_score:
             return per_term.select("doc_id").distinct() \
                 .withColumn("score", F.lit(0.0))
+        grouped = per_term.groupBy("doc_id").agg(F.sum("score").alias("_s"))
         if nt_lit is not None:
-            return (per_term.groupBy("doc_id")
-                    .agg(F.sum("score").alias("_s"))
-                    .select("doc_id",
-                            (F.col("_s") / F.lit(float(nt_lit)))
-                            .alias("score")))
-        nt = (self.postings
-              .where(F.col("term").startswith(q.prefix))
-              .agg(F.countDistinct("term").alias("_nt")))
-        return (per_term.groupBy("doc_id").agg(F.sum("score").alias("_s"))
-                .crossJoin(F.broadcast(nt))
+            return grouped.select(
+                "doc_id",
+                (F.col("_s") / F.lit(float(nt_lit))).alias("score"))
+        return (grouped.crossJoin(F.broadcast(nt_frame))
                 .select("doc_id",
                         (F.col("_s") / F.col("_nt").cast("double"))
                         .alias("score")))
+
+    def _score_selector(self, q, needs_score: bool = True) -> DataFrame:
+        """MultiTerm with a wildcard or Levenshtein selector — the
+        selectors the reference declares but never implements
+        (multi_term_selector.rs:3-16), scored with the identical
+        Avg-over-global-dictionary semantics as Prefix.
+
+        With the dictionary sidecar, matching terms are enumerated ON
+        THE DRIVER from the range-sorted dictionary slice (bounded by
+        the dictionary, never postings — term_dict.selector_stats),
+        the divisor becomes a literal, and the postings scan prunes to
+        the matched terms' tbucket partitions: one Spark job, same as
+        prefix.  Legacy indexes fall back to a Spark-side rlike /
+        levenshtein block filter plus a countDistinct divisor."""
+        import re
+        if isinstance(q, dsl.Wildcard):
+            regex, hint = wildcard_regex(q.pattern)
+            rx = re.compile(regex)
+
+            def match_fn(t: str) -> bool:
+                return rx.match(t) is not None
+            pred = F.col("term").rlike(regex)
+        else:
+            hint = q.term[:q.prefix_length]
+            fz, qt = int(q.fuzziness), q.term
+
+            def match_fn(t: str) -> bool:
+                return t.startswith(hint) and editdist_leq(t, qt, fz)
+            pred = F.levenshtein(F.col("term"), F.lit(qt)) <= fz
+            if hint:
+                pred = pred & F.col("term").startswith(hint)
+        if self.dict_reader is not None:
+            n, terms, tbs = self.dict_reader.selector_stats(
+                q.field, match_fn, hint)
+            if not n or not terms:
+                return self.spark.createDataFrame([], schema=_SCORE_SCHEMA)
+            blocks = self.postings.where(
+                (F.col("field") == q.field)
+                & F.col("tbucket").isin(tbs)
+                & F.col("term").isin(terms))
+            return self._multiterm_avg(blocks, q.field, q.scorer,
+                                       n, None, needs_score)
+        blocks = self.postings.where((F.col("field") == q.field) & pred)
+        nt = self.postings.where(pred).agg(
+            F.countDistinct("term").alias("_nt"))
+        return self._multiterm_avg(blocks, q.field, q.scorer,
+                                   None, nt, needs_score)
 
     # ---------------------------------------------------------------
     # boolean docsets (scoring elided — the reference's no_score path)
@@ -766,6 +877,9 @@ class SearchEngine:
                                     needs_score=False).select("doc_id")
         if isinstance(q, dsl.Prefix):
             return self._score_prefix(q, needs_score=False) \
+                .select("doc_id").distinct()
+        if isinstance(q, (dsl.Wildcard, dsl.Fuzzy)):
+            return self._score_selector(q, needs_score=False) \
                 .select("doc_id").distinct()
         if isinstance(q, dsl.Conjunction):
             if self._fusable(q.queries):
@@ -841,6 +955,8 @@ class SearchEngine:
             return ("df", self._score_term(q.field, q.term, q.scorer))
         if isinstance(q, dsl.Prefix):
             return ("df", self._score_prefix(q))
+        if isinstance(q, (dsl.Wildcard, dsl.Fuzzy)):
+            return ("df", self._score_selector(q))
         if isinstance(q, dsl.Conjunction):
             return self._combine(q.queries, mode="and")
         if isinstance(q, dsl.Disjunction):
@@ -848,14 +964,73 @@ class SearchEngine:
         if isinstance(q, dsl.DisjunctionMax):
             return self._combine(q.queries, mode="max")
         if isinstance(q, dsl.Filter):
+            fused = self._fused_filter(q.query, q.filter, anti=False)
+            if fused is not None:
+                return ("df", fused)
             inner = self._score(q.query)
             fset = self._docset(q.filter)
             return self._apply_filter(inner, fset, anti=False)
         if isinstance(q, dsl.Exclude):
+            fused = self._fused_filter(q.query, q.exclude, anti=True)
+            if fused is not None:
+                return ("df", fused)
             inner = self._score(q.query)
             eset = self._docset(q.exclude)
             return self._apply_filter(inner, eset, anti=True)
         raise TypeError(type(q))
+
+    def _term_group(self, q: dsl.Query):
+        """(mode, (Term, ...)) for a plain Term or a one-level fusable
+        combinator of Terms; None for any other shape."""
+        if isinstance(q, dsl.Term):
+            return ("or", (q,))
+        if isinstance(q, (dsl.Conjunction, dsl.Disjunction,
+                          dsl.DisjunctionMax)) and self._fusable(q.queries):
+            mode = ("and" if isinstance(q, dsl.Conjunction) else
+                    "or" if isinstance(q, dsl.Disjunction) else "max")
+            return (mode, tuple(q.queries))
+        return None
+
+    def _fused_filter(self, inner_q: dsl.Query, filt_q: dsl.Query,
+                      anti: bool) -> Optional[DataFrame]:
+        """ONE decode job for Filter/Exclude whose branches are both
+        Term trees: the filter's terms ride along in the fused decode
+        as score-free presence predicates, replacing the separate
+        docset job + semi/anti-join (the round-3 `filtered` p95 shape:
+        two jobs → one).  Semantics are identical to
+        _apply_filter ∘ _docset: the filter branch only gates which
+        docs survive (query/mod.rs:64-75), scores come solely from
+        the inner branch."""
+        gi, gf = self._term_group(inner_q), self._term_group(filt_q)
+        if gi is None or gf is None:
+            return None
+        (imode, iterms), (fmode, fterms) = gi, gf
+        leaves = iterms + fterms
+        if not self._fusable(leaves):
+            return None     # duplicate leaf across branches, or
+        n_i, n_f = len(iterms), len(fterms)
+        is_inner = F.col("child") < n_i
+        agg = (self._fused_frame(leaves)
+               .groupBy("doc_id")
+               .agg(F.count(F.when(is_inner, 1)).alias("ic"),
+                    F.sum(F.when(is_inner, F.col("score"))
+                          .otherwise(0.0)).alias("isum"),
+                    F.max(F.when(is_inner, F.col("score"))).alias("imax"),
+                    F.count(F.when(~is_inner, 1)).alias("fc")))
+        # filter gate: a DisjunctionMax filter matches like "or"
+        hit = (F.col("fc") == n_f) if fmode == "and" else (F.col("fc") >= 1)
+        keep = ~hit if anti else hit
+        # inner combinator (score_function.rs:21-38,74-88)
+        if imode == "and":
+            keep = keep & (F.col("ic") == n_i)
+            score = F.col("isum") / F.lit(float(n_i))
+        elif imode == "max":
+            keep = keep & (F.col("ic") >= 1)
+            score = F.col("imax")
+        else:
+            keep = keep & (F.col("ic") >= 1)
+            score = F.col("isum") / F.lit(float(n_i))
+        return agg.where(keep).select("doc_id", score.alias("score"))
 
     def _apply_filter(self, inner: Scored, fset: DocSet,
                       anti: bool) -> Scored:

@@ -235,3 +235,48 @@ def test_html_strip_malformed():
     # deterministic (which is the invariant that matters)
     assert html_to_text(b"<p>ok<div") == "ok<div"
     assert html_to_text("plain text") == "plain text"
+
+
+def test_asciifolding_nfkd_crosscheck():
+    """Independent check of the transcribed Lucene table (the re-parse
+    parity test would mis-parse identically on both sides): wherever
+    NFKD-minus-combining-marks yields pure ASCII, the table must
+    agree — except Lucene's own documented quirks, pinned exactly:
+    ǧ U+01E7 sits in Lucene's 'G' arm and ẛ U+1E9B in its 'f' arm
+    (verified against /root/reference/src/analysis/lucene_asciifold.rs
+    lines 462 and 517, which transcribe upstream Lucene)."""
+    import unicodedata
+    from rusticsearch_spark.analysis.lucene_folding import FOLD_TABLE
+
+    LUCENE_QUIRKS = {0x01E7: "G", 0x1E9B: "f"}
+    compared = 0
+    for key, repl in FOLD_TABLE.items():
+        ch = key if isinstance(key, str) else chr(key)
+        stripped = "".join(
+            c for c in unicodedata.normalize("NFKD", ch)
+            if not unicodedata.combining(c))
+        if stripped and stripped != ch and stripped.isascii():
+            compared += 1
+            want = LUCENE_QUIRKS.get(ord(ch), stripped)
+            assert repl == want, (hex(ord(ch)), ch, repl, stripped)
+    assert compared > 700          # the check actually covers the bulk
+
+
+def test_asciifolding_pinned_goldens_nondecomposable():
+    """Hand-pinned goldens for entries NFKD cannot derive (no
+    decomposition): ligatures, strokes, quotes — from Lucene's
+    published ASCIIFoldingFilter mappings."""
+    from rusticsearch_spark.analysis.filters import ascii_fold
+    for src, want in [
+        ("ß", "ss"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"),
+        ("ø", "o"), ("Ø", "O"), ("Đ", "D"), ("đ", "d"),
+        # NB: the reference puts ŉ in the plain 'n' arm
+        # (lucene_asciifold.rs:914) — reference parity wins here
+        ("ƒ", "f"), ("ŉ", "n"), ("‘", "'"), ("’", "'"),
+        # single guillemets are single-QUOTE class in Lucene
+        # (lucene_asciifold.rs:2180-2181), not angle brackets
+        ("“", "\""), ("”", "\""), ("‹", "'"),
+        ("›", "'"), ("①", "1"), ("⓪", "0"),
+        ("ı", "i"), ("Ł", "L"), ("ł", "l"), ("Þ", "TH"), ("þ", "th"),
+    ]:
+        assert ascii_fold(src) == want, (src, want)

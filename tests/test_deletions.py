@@ -128,3 +128,28 @@ def test_cluster_get_and_delete_document(spark, webtext, tmp_path):
     assert c.get_document("p", key) is None
     assert c.count("p") == 29
     assert c.delete_document("p", key) is False  # already gone
+
+
+def test_delete_by_nonstring_key(spark, webtext, tmp_path):
+    """Regression: a long-typed PK must resolve through the kbucket
+    sidecar — xxhash64 over the NATURAL key type, not its string
+    spelling — or the delete silently matches nothing."""
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+
+    path = str(tmp_path / "intkey_idx")
+    docs = (webtext.limit(25)
+            .withColumn("pk", F.xxhash64("url"))  # long, high-entropy
+            .select("pk", "text", "lang"))
+    build_index(spark, docs, path,
+                IndexConfig(key_col="pk",
+                            fields={"text": "standard", "lang": None},
+                            n_buckets=4, tbuckets=2, shuffle_partitions=4),
+                jobs=1)
+    victim = docs.first().pk
+    eng0 = SearchEngine(spark, path)
+    n = eng0.count()
+    # both the natural value and its string spelling must resolve
+    assert delete_documents(spark, path, keys=[victim]) == 1
+    assert SearchEngine(spark, path).count() == n - 1
+    assert delete_documents(spark, path, keys=[victim]) == 0  # idempotent

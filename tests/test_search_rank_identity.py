@@ -190,3 +190,64 @@ def test_nested_fused_combine_matches_generic(engine):
         finally:
             engine._nested_groups = bak
         assert a == b and len(a) > 0, q
+
+
+def test_fused_filter_matches_generic(engine):
+    """Filter/Exclude over Term trees must produce the same ids and
+    scores through the one-job fused decode (filter terms ride along
+    as presence predicates) as through the generic
+    docset-plus-semi-join path."""
+    queries = [
+        {"filtered": {"query": {"match": {"text": "spark query"}},
+                      "filter": {"term": {"lang": "en"}}}},
+        {"filtered": {"query": {"term": {"text": "spark"}},
+                      "filter": {"terms": {"lang": ["en", "de"]}}}},
+        {"filtered": {"query": {"match": {"text": {"query": "table scan",
+                                                   "operator": "and"}}},
+                      "filter": {"term": {"lang": "en"}}}},
+        {"filtered": {"query": {"dis_max": {"queries": [
+            {"term": {"text": "spark"}}, {"term": {"text": "merge"}}]}},
+            "filter": {"term": {"lang": "en"}}}},
+    ]
+    for q in queries:
+        parsed = engine.parse(q)
+        assert engine._fused_filter(parsed.query, parsed.filter,
+                                    anti=False) is not None, q
+        a = [(r.doc_id, r.score) for r in engine.search(q, size=20).collect()]
+        bak = engine._fused_filter
+        engine._fused_filter = lambda *args, **kw: None
+        try:
+            b = [(r.doc_id, r.score) for r in
+                 engine.search(q, size=20).collect()]
+        finally:
+            engine._fused_filter = bak
+        assert a == b and len(a) > 0, q
+
+
+def test_fused_exclude_matches_generic(engine):
+    import rusticsearch_spark.query.dsl as dsl_mod
+    q = {"and": [{"match": {"text": "spark query"}},
+                 {"not": {"term": {"lang": "de"}}}]}
+    # the 'and' wrapper isn't itself the Exclude — drive _score directly
+    parsed = engine.parse({"match": {"text": "spark query"}})
+    excl = dsl_mod.Exclude(parsed, dsl_mod.Term("lang", "de"))
+    fused = engine._fused_filter(excl.query, excl.exclude, anti=True)
+    assert fused is not None
+    a = sorted((r.doc_id, round(r.score, 6)) for r in
+               engine._materialize(("df", fused)).collect())
+    bak = engine._fused_filter
+    engine._fused_filter = lambda *args, **kw: None
+    try:
+        b = sorted((r.doc_id, round(r.score, 6)) for r in
+                   engine._materialize(engine._score(excl)).collect())
+    finally:
+        engine._fused_filter = bak
+    assert a == b and len(a) > 0
+
+
+def test_fused_filter_declines_shared_leaf(engine):
+    """A term appearing in both branches must fall back (the fused
+    frame cannot hold one leaf twice)."""
+    import rusticsearch_spark.query.dsl as dsl_mod
+    t = dsl_mod.Term("text", "spark")
+    assert engine._fused_filter(t, t, anti=False) is None

@@ -1,0 +1,129 @@
+"""Materialized vector-index sidecar: partition-pruned ANN probes.
+
+The contract (VERDICT r3 #1): the indexed probe must (a) return
+bit-identical results to the query-time expression path, and (b) read
+a STRICT SUBSET of the sidecar's files — IO pruning, not just compute
+pruning — asserted via input_file_name, the same technique as
+tests/test_doc_index.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusticsearch_spark.index.vec_index import (VecIndex, build_vec_index,
+                                                train_ivf_centroids)
+from rusticsearch_spark.ops.similarity import (ann_topk_hyperplane,
+                                               ann_topk_ivf, ann_topk_lsh,
+                                               cosine_py, cosine_topk)
+
+DIM = 16
+
+
+def _vec(rng_i: int):
+    """Deterministic pseudo-random unit-ish vector (LCG, no RNG)."""
+    x = (rng_i * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+    out = []
+    for _ in range(DIM):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(((x >> 32) / 2**31) - 1.0)   # [-1, 1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, _vec(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.cache()
+
+
+def _files_read(df, spark):
+    return {r.f for r in
+            df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("lsh", {"nbits": 4}),
+    ("hyperplane", {"nbits": 3, "tables": 2}),
+])
+def test_indexed_probe_matches_expression_path(spark, emb, tmp_path,
+                                               kind, params):
+    out = str(tmp_path / f"vidx_{kind}")
+    build_vec_index(emb, out, kind, **params)
+    vi = VecIndex(out)
+    q = _vec(9999)
+    got = vi.topk(spark, q, k=10).collect()
+    if kind == "lsh":
+        want = ann_topk_lsh(emb, q, k=10, nbits=params["nbits"]).collect()
+    else:
+        want = ann_topk_hyperplane(emb, q, k=10, **params).collect()
+    assert [(r.vec_id, r.cos) for r in got] == \
+        [(r.vec_id, r.cos) for r in want]
+
+
+def test_ivf_indexed_matches_expression_path(spark, emb, tmp_path):
+    out = str(tmp_path / "vidx_ivf")
+    cents = [(i, _vec(10_000 + i)) for i in range(8)]
+    build_vec_index(emb, out, "ivf", centroids=cents)
+    vi = VecIndex(out)
+    q = _vec(4242)
+    got = vi.topk(spark, q, k=10, nprobe=2).collect()
+    want = ann_topk_ivf(emb, q, k=10, centroids=cents, nprobe=2).collect()
+    assert [(r.vec_id, r.cos) for r in got] == \
+        [(r.vec_id, r.cos) for r in want]
+
+
+def test_probe_reads_strict_subset_of_files(spark, emb, tmp_path):
+    """The whole point of the sidecar: the probe's parquet scan
+    touches only the probed partition directories."""
+    out = str(tmp_path / "vidx_prune")
+    build_vec_index(emb, out, "lsh", nbits=4)
+    vi = VecIndex(out)
+    all_files = _files_read(vi._read(spark), spark)
+    probe_files = _files_read(vi.candidates(spark, _vec(77)), spark)
+    assert probe_files, "probe read nothing"
+    assert probe_files < all_files, \
+        "probe did not prune file IO (read every sidecar file)"
+    # and the pruning is on the partition VALUE, visible in the path
+    assert all("bucket=" in f for f in probe_files)
+
+
+def test_ivf_probe_prunes_lists(spark, emb, tmp_path):
+    out = str(tmp_path / "vidx_ivf_prune")
+    cents = [(i, _vec(10_000 + i)) for i in range(8)]
+    build_vec_index(emb, out, "ivf", centroids=cents)
+    vi = VecIndex(out)
+    all_files = _files_read(vi._read(spark), spark)
+    probe_files = _files_read(
+        vi.candidates(spark, _vec(31), nprobe=2), spark)
+    assert probe_files and probe_files < all_files
+    lists = {f.split("list=")[1].split("/")[0] for f in probe_files}
+    assert len(lists) <= 2
+
+
+def test_trained_centroids_recall_on_planted_clusters(spark):
+    """Spherical k-means on planted clusters: with nprobe=2 of k=8
+    lists, recall@10 vs brute force must be ≥ 0.9 (VERDICT r3 #7)."""
+    k, per = 8, 60
+    anchors = [_vec(5_000 + c) for c in range(k)]
+    rows = []
+    for c in range(k):
+        a = anchors[c]
+        for j in range(per):
+            jitter = _vec(6_000 + c * per + j)
+            v = [ai + 0.15 * ji for ai, ji in zip(a, jitter)]
+            rows.append((c * per + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, k=k, iters=3)
+    assert len(cents) == k
+    for _, v in cents:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    q = [ai + 0.1 * ji for ai, ji in zip(anchors[3], _vec(7_777))]
+    exact = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+    approx = {r.vec_id for r in
+              ann_topk_ivf(df, q, k=10, centroids=cents,
+                           nprobe=2).collect()}
+    assert len(exact & approx) / 10 >= 0.9
