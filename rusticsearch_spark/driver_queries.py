@@ -1010,34 +1010,68 @@ def q_lang_id(spark, sf_dir):
 
 
 def sql_lang_id():
-    from .ops.text_stats import STOPWORDS
+    from .ops.text_stats import LANGS, STOPWORDS
+
     def inlist(lang):
         return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    hit_cols = ",\n         ".join(
+        f"COALESCE(count(*) FILTER (t.tok IN ({inlist(l)})), 0)::INT"
+        f" AS h_{l}" for l in LANGS)
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{l}' AS lang, h_{l} AS h FROM hits"
+        for l in LANGS)
     return _PRELUDE + f""",
 hits AS (
   SELECT d.doc_id,
-         COALESCE(count(*) FILTER (t.tok IN ({inlist('en')})), 0)::INT
-           AS hits_en,
-         COALESCE(count(*) FILTER (t.tok IN ({inlist('es')})), 0)::INT
-           AS hits_es,
-         COALESCE(count(*) FILTER (t.tok IN ({inlist('fr')})), 0)::INT
-           AS hits_fr
+         {hit_cols}
   FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
   WHERE d.text IS NOT NULL
   GROUP BY 1
-)
-SELECT doc_id, hits_en, hits_es, hits_fr,
-       CASE WHEN GREATEST(hits_en, hits_es, hits_fr) = 0 THEN 'und'
-            WHEN hits_en = GREATEST(hits_en, hits_es, hits_fr) THEN 'en'
-            WHEN hits_es = GREATEST(hits_en, hits_es, hits_fr) THEN 'es'
-            ELSE 'fr' END AS lang_guess
-FROM hits
+),
+lng AS (
+  {unpivot}
+),
+rk AS (
+  SELECT doc_id, lang, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, lang ASC) AS rn
+  FROM lng
+),
+tot AS (SELECT doc_id, SUM(h) AS th FROM lng GROUP BY 1)
+SELECT r1.doc_id,
+       CASE WHEN r1.h = 0 THEN 'und' ELSE r1.lang END AS lang_guess,
+       r1.h::INT AS best_hits,
+       tot.th::INT AS total_hits,
+       (r1.h - r2.h)::INT AS margin,
+       ROUND(r1.h / GREATEST(tot.th, 1), 4) AS confidence
+FROM rk r1
+JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+JOIN tot ON tot.doc_id = r1.doc_id
+WHERE r1.rn = 1
 """
 
 
 def q_token_count(spark, sf_dir):
     from .ops.text_stats import token_count
     return token_count(_docs(spark, sf_dir))
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Real byte-pair-encoding token counts (ops/bpe.py): merges
+    trained by the classic algorithm, applied as a native
+    replace-chain — zero Python in the hot path; the oracle runs the
+    IDENTICAL chain in DuckDB."""
+    from .ops.bpe import token_count_bpe
+    return token_count_bpe(
+        _docs(spark, sf_dir).where(F.col("text").isNotNull()))
+
+
+def sql_token_count_bpe():
+    from .ops.bpe import bpe_token_count_sql
+    return f"""
+SELECT doc_id, {bpe_token_count_sql(text_expr='text')} AS n_bpe
+FROM documents WHERE text IS NOT NULL
+"""
 
 
 def sql_token_count():
@@ -1196,6 +1230,7 @@ QUERIES: Dict[str, Callable] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
@@ -1236,6 +1271,7 @@ ORACLES: Dict[str, str] = {
     "text_quality": sql_text_quality(),
     "lang_id": sql_lang_id(),
     "token_count": sql_token_count(),
+    "token_count_bpe": sql_token_count_bpe(),
     "fingerprint": sql_fingerprint(),
     "events_window": sql_events_window(),
     "events_sessionize": sql_events_sessionize(),

@@ -19,11 +19,48 @@ TOKEN_RE = "[a-z0-9]+"
 # "BPE-ish": word pieces OR single non-space punctuation
 BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
 
+# The quality-score filter keeps the original compact EN list (its
+# oracle SQL inlines these ten words verbatim).
+_QUALITY_SW = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+
+# Language-ID stopword table: the most frequent FUNCTION words of ten
+# languages (public knowledge; standard top-stopword lists), ASCII
+# spellings only because the `simple` tokenizer emits [a-z0-9]+ runs
+# (accented words would split and never match).  Collisions across
+# languages ("de", "la", "en", ...) are fine — each language counts
+# hits independently and the argmax decides.
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
-    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "du"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit",
+           "dem", "den", "ein", "eine", "zu", "auf", "sich", "im",
+           "auch", "es"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for",
+           "on", "that", "with", "as", "was", "at", "by", "this",
+           "have"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es",
+           "por", "con", "los", "las", "del", "se", "para", "no",
+           "su"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour",
+           "du", "les", "des", "dans", "qui", "pas", "sur", "avec",
+           "par"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+           "ini", "dari", "dalam", "akan", "pada", "juga", "saya",
+           "ke", "karena", "ada", "mereka"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "con",
+           "del", "non", "sono", "le", "si", "da", "come", "anche",
+           "ma"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+           "in", "je", "niet", "zijn", "is", "was", "op", "aan",
+           "met"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "uma",
+           "para", "com", "os", "as", "por", "mais", "dos", "como"],
+    "sv": ["och", "att", "det", "som", "en", "den", "med", "var",
+           "sig", "om", "har", "inte", "av", "till", "man", "men",
+           "ett", "vid"],
+    "tr": ["bir", "ve", "bu", "da", "de", "o", "ben", "ama", "gibi",
+           "daha", "sonra", "kadar", "ile", "mi", "ne", "var", "yok",
+           "sen"],
 }
+LANGS = sorted(STOPWORDS)        # tie-break order: lang code asc
 
 
 def tokens_col(text_col: str = "text") -> Column:
@@ -52,7 +89,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     standard cheap filters of a web-corpus pipeline."""
     toks = tokens_col(text_col)
     n = F.size(toks)
-    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    sw = F.array([F.lit(w) for w in _QUALITY_SW])
     n_sw = F.size(F.array_intersect(toks, sw))
     return df.select(
         F.col(id_col),
@@ -62,7 +99,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
         F.round(F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 4)
         .alias("distinct_ratio"),
         F.round(
-            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+            F.size(F.filter(toks, lambda t: t.isin(_QUALITY_SW)))
             / F.greatest(n, F.lit(1)), 4).alias("stopword_ratio"),
         (n_sw >= 2).alias("passes_stopword_filter"),
     )
@@ -70,23 +107,41 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
 
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: count stopword hits per language over
-    the token multiset; argmax wins, ties/zeros → 'und'."""
+    """Heuristic language ID over ten languages: stopword hits per
+    language on the token multiset; argmax wins (ties → lang code
+    asc), zero hits → 'und'.  Emits the decision evidence too:
+    ``best_hits``, ``total_hits`` (sum across languages), ``margin``
+    (best − runner-up) and ``confidence`` (best / total, 0 when no
+    hits) — the downstream filter knobs a corpus pipeline needs.
+
+    Pure native SQL expressions (array of (hits, rank) structs,
+    sort_array picks the winner) — codegen the whole way, linear at
+    any corpus size."""
     toks = tokens_col(text_col)
 
     def _hits(lang: str) -> Column:
         words = list(STOPWORDS[lang])
         return F.size(F.filter(toks, lambda t: t.isin(words)))
 
-    hits = {lang: _hits(lang) for lang in STOPWORDS}
-    en, es, fr = hits["en"], hits["es"], hits["fr"]
-    best = F.greatest(en, es, fr)
-    guess = (F.when(best == 0, "und")
-             .when(en == best, "en")
-             .when(es == best, "es")
-             .otherwise("fr"))
-    return df.select(F.col(id_col), en.alias("hits_en"), es.alias("hits_es"),
-                     fr.alias("hits_fr"), guess.alias("lang_guess"))
+    # struct (hits, -lang_index): descending sort yields highest hits
+    # first, ties broken by the LOWEST index (= lang code asc)
+    pairs = F.array(*[
+        F.struct(_hits(lang).alias("h"), F.lit(-i).alias("n"))
+        for i, lang in enumerate(LANGS)])
+    ranked = F.sort_array(pairs, asc=False)
+    best, second = ranked[0], ranked[1]
+    langs_lit = F.array(*[F.lit(c) for c in LANGS])
+    total = F.aggregate(pairs, F.lit(0), lambda a, p: a + p["h"])
+    guess = (F.when(best["h"] == 0, "und")
+             .otherwise(F.element_at(langs_lit, -best["n"] + 1)))
+    return df.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        best["h"].alias("best_hits"),
+        total.cast("int").alias("total_hits"),
+        (best["h"] - second["h"]).alias("margin"),
+        F.round(best["h"] / F.greatest(total, F.lit(1)), 4)
+        .alias("confidence"))
 
 
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",

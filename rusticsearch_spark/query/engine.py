@@ -212,8 +212,24 @@ class SearchEngine:
     # corpus full decode is one job and strictly cheaper.
     PRUNE_MIN_POSTINGS = 100_000
 
+    #: "auto" serving mode switches to the driver-local searcher when
+    #: the committed postings artifact is at most this many bytes on
+    #: disk — compressed postings several times this size still fit
+    #: driver memory decoded, but latency parity with a Spark job is
+    #: already lost well above it.  At web scale a serving tier runs
+    #: one LocalSearcher per tbucket shard instead (query/local.py).
+    LOCAL_MAX_BYTES = 256 << 20
+
     def __init__(self, spark: SparkSession, index_dir: str,
-                 precision: str = "f32", cache_postings: bool = False):
+                 precision: str = "f32", cache_postings: bool = False,
+                 mode: str = "spark"):
+        """``mode``: "spark" (default) plans every query as Spark
+        jobs; "local" serves top-k/count from the driver-side
+        LocalSearcher (millisecond latency, rank-identical f32
+        scores — tests/test_local_searcher.py) and is valid only for
+        precision="f32" and indexes that fit the driver; "auto"
+        picks "local" when the postings artifact is under
+        LOCAL_MAX_BYTES."""
         self.spark = spark
         self.precision = precision
         self.prune_min_postings = self.PRUNE_MIN_POSTINGS
@@ -282,6 +298,32 @@ class SearchEngine:
         # un-decremented until merge, like the reference
         from ..index.delete import load_deletions
         self.deletions = load_deletions(spark, self.layout)
+        # serving-mode selection (the reference's single-node searcher
+        # split: executors build the artifact, a driver/serving tier
+        # answers queries — search_api.rs)
+        if mode not in ("spark", "local", "auto"):
+            raise ValueError(f"mode must be spark|local|auto: {mode!r}")
+        if mode == "auto":
+            mode = ("local"
+                    if self._postings_bytes() <= self.LOCAL_MAX_BYTES
+                    else "spark")
+        if mode == "local" and precision != "f32":
+            raise ValueError("mode='local' serves exact f32 scores; "
+                             "use precision='f32' or mode='spark'")
+        self.mode = mode
+        self._local = None
+        if mode == "local":
+            from .local import LocalSearcher
+            self._local = LocalSearcher(index_dir)
+
+    def _postings_bytes(self) -> int:
+        import os as _os
+        total = 0
+        for d in self.layout.committed_dirs("postings"):
+            for root, _, files in _os.walk(d):
+                total += sum(_os.path.getsize(_os.path.join(root, f))
+                             for f in files)
+        return total
 
     def _live(self, frame: DataFrame) -> DataFrame:
         if self.deletions is None:
@@ -302,6 +344,14 @@ class SearchEngine:
     def search(self, query_json: dict, size: int = 10, from_: int = 0,
                wand: bool = True) -> DataFrame:
         """Top-k (doc_id, score), score desc, doc_id asc tie-break."""
+        if self._local is not None:
+            # driver-side serving: zero Spark jobs to compute the
+            # top-k; the (≤ size)-row result is wrapped as a local
+            # DataFrame to keep the API uniform
+            rows = self._local.search(query_json, size=size, from_=from_)
+            return self.spark.createDataFrame(
+                [(int(d), float(s)) for d, s in rows],
+                schema=_SCORE_SCHEMA)
         q = self.parse(query_json)
         k = from_ + size
         # WAND's pass-1 threshold must reflect only live docs, so the
@@ -353,6 +403,8 @@ class SearchEngine:
 
     def count(self, query_json: Optional[dict] = None) -> int:
         """_count: scoring elided entirely (planner/mod.rs:43-47)."""
+        if self._local is not None:
+            return self._local.count(query_json)
         if query_json is None:
             return self._live(self.docs.select("doc_id")).count()
         q = self.parse(query_json)

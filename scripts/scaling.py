@@ -103,8 +103,16 @@ def main() -> None:
         "```",
         f"Generated in {time.time() - t0:.0f}s.",
     ]
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # persistent appendices (host-ceiling composite, variant tables,
+    # microbenchmarks) live in BENCH/APPENDIX*.md so regeneration
+    # keeps them instead of silently dropping hand-written evidence
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    for apx in sorted(os.listdir(bench_dir)):
+        if apx.startswith("APPENDIX") and apx.endswith(".md"):
+            with open(os.path.join(bench_dir, apx)) as f:
+                lines += ["", f.read().rstrip()]
+    path = os.path.join(bench_dir, "BASELINE.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -65,3 +65,29 @@ def test_local_sees_deletions(spark, index_dir, tmp_path, oracle):
     assert l2.count() == base.count() - 1
     assert victim not in [d for d, _ in
                           l2.search({"match": {"text": "merge"}}, size=50)]
+
+
+def test_engine_local_mode_matches_spark_mode(spark, index_dir):
+    """Engine(mode='local') must return the identical top-k frame as
+    the distributed planner on the same index (VERDICT r3 #8), and
+    'auto' must pick local below the size cutoff."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    dist = SearchEngine(spark, index_dir)
+    loc = SearchEngine(spark, index_dir, mode="local")
+    assert loc.mode == "local" and loc._local is not None
+    for q in [{"match": {"text": "spark query"}},
+              {"term": {"text": "merge"}},
+              {"filtered": {"query": {"match": {"text": "table scan"}},
+                            "filter": {"term": {"lang": "en"}}}},
+              {"match_all": {}}]:
+        a = [(r.doc_id, round(r.score, 5)) for r in
+             dist.search(q, size=12).collect()]
+        b = [(r.doc_id, round(r.score, 5)) for r in
+             loc.search(q, size=12).collect()]
+        assert a == b, q
+        assert dist.count(q) == loc.count(q)
+    auto = SearchEngine(spark, index_dir, mode="auto")
+    assert auto.mode == "local"      # test index ≪ 256 MB
+    import pytest
+    with pytest.raises(ValueError, match="f32"):
+        SearchEngine(spark, index_dir, precision="f64", mode="local")
