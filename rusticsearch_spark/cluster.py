@@ -74,9 +74,15 @@ class NameRegistry:
 class Cluster:
     """Python facade over multiple on-disk indices."""
 
-    def __init__(self, spark: SparkSession, root_dir: str):
+    def __init__(self, spark: SparkSession, root_dir: str,
+                 serving_mode: str = "spark"):
+        """``serving_mode`` is forwarded to every SearchEngine this
+        cluster opens: "spark" | "local" | "auto" (see
+        query.engine.SearchEngine — "auto" serves small indexes from
+        the driver in milliseconds, no Spark jobs)."""
         self.spark = spark
         self.root = root_dir
+        self.serving_mode = serving_mode
         os.makedirs(root_dir, exist_ok=True)
         self.registry = NameRegistry()
         self._mappings: Dict[str, List[FieldMapping]] = {}
@@ -126,7 +132,8 @@ class Cluster:
     # -- read path -----------------------------------------------------
     def engine(self, index: str) -> SearchEngine:
         if index not in self._engines:
-            self._engines[index] = SearchEngine(self.spark, self._dir(index))
+            self._engines[index] = SearchEngine(
+                self.spark, self._dir(index), mode=self.serving_mode)
         return self._engines[index]
 
     def search(self, name: str, query_json: dict, size: int = 10,

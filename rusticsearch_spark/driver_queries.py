@@ -285,6 +285,29 @@ FROM pts CROSS JOIN nt GROUP BY 1
 """
 
 
+def q_fts_regexp(spark, sf_dir):
+    """Regexp MultiTerm on text: whole-term 's(can|ort)' enumerates
+    {scan, sort} from the driver-side dictionary; same global-Avg
+    scoring as the other selectors."""
+    eng = get_engine(spark, sf_dir)
+    return _scored(eng, {"regexp": {"text": "s(can|ort)"}})
+
+
+def sql_fts_regexp():
+    return _PRELUDE + f""",
+pts AS (
+  SELECT tf.doc_id, tf.tok, {_SCORE} AS s
+  FROM tf JOIN dfreq USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE regexp_full_match(tf.tok, 's(can|ort)')
+),{_ALLDICT},
+nt AS (SELECT count(DISTINCT tok) AS n FROM alldict
+       WHERE regexp_full_match(tok, 's(can|ort)'))
+SELECT pts.doc_id AS doc_id, ROUND(SUM(pts.s) / MAX(nt.n), 6) AS score
+FROM pts CROSS JOIN nt GROUP BY 1
+"""
+
+
 def q_fts_fuzzy(spark, sf_dir):
     """Fuzzy MultiTerm on text: Levenshtein ≤ 2 around 'part' —
     dictionary-enumerated on the driver (banded DP that agrees with
@@ -1205,6 +1228,7 @@ QUERIES: Dict[str, Callable] = {
     "fts_prefix": q_fts_prefix,
     "fts_prefix_lang": q_fts_prefix_lang,
     "fts_wildcard": q_fts_wildcard,
+    "fts_regexp": q_fts_regexp,
     "fts_fuzzy": q_fts_fuzzy,
     "fts_filtered": q_fts_filtered,
     "fts_exclude": q_fts_exclude,
@@ -1246,6 +1270,7 @@ ORACLES: Dict[str, str] = {
     "fts_prefix": sql_fts_prefix(),
     "fts_prefix_lang": sql_fts_prefix_lang(),
     "fts_wildcard": sql_fts_wildcard(),
+    "fts_regexp": sql_fts_regexp(),
     "fts_fuzzy": sql_fts_fuzzy(),
     "fts_filtered": sql_fts_filtered(),
     "fts_exclude": sql_fts_exclude(),

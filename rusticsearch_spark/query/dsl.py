@@ -76,6 +76,17 @@ class Wildcard:
 
 
 @dataclass(frozen=True)
+class Regexp:
+    """MultiTerm with a regex selector (ES `regexp` query semantics:
+    the pattern is implicitly anchored — it must match the WHOLE
+    term).  Same Avg-over-global-dictionary scoring as the other
+    selectors."""
+    field: str
+    pattern: str
+    scorer: TermScorer = TermScorer()
+
+
+@dataclass(frozen=True)
 class Fuzzy:
     """MultiTerm with a Levenshtein selector: matches dictionary
     terms within ``fuzziness`` edits of ``term`` (ES semantics:
@@ -122,8 +133,8 @@ class Exclude:
     exclude: "Query"  # score-less
 
 
-Query = Union[All, NoneQuery, Term, Prefix, Wildcard, Fuzzy, Conjunction,
-              Disjunction, DisjunctionMax, Filter, Exclude]
+Query = Union[All, NoneQuery, Term, Prefix, Wildcard, Regexp, Fuzzy,
+              Conjunction, Disjunction, DisjunctionMax, Filter, Exclude]
 
 
 def boost(q: Query, factor: float) -> Query:
@@ -137,7 +148,7 @@ def boost(q: Query, factor: float) -> Query:
     if isinstance(q, Term):
         return replace(q, scorer=replace(q.scorer,
                                          boost=q.scorer.boost * factor))
-    if isinstance(q, (Prefix, Wildcard, Fuzzy)):
+    if isinstance(q, (Prefix, Wildcard, Regexp, Fuzzy)):
         return replace(q, scorer=replace(q.scorer,
                                          boost=q.scorer.boost * factor))
     if isinstance(q, (Conjunction, Disjunction, DisjunctionMax)):
@@ -339,6 +350,25 @@ def _parse_wildcard(body: dict, ctx: ParseContext) -> Query:
     return boost(Wildcard(fname, _as_string(value)), boost_v)
 
 
+def _parse_regexp(body: dict, ctx: ParseContext) -> Query:
+    """ES-style regexp query: {"regexp": {field: "pat.*rn"}} or the
+    object form with 'value' + 'boost'.  Whole-term match (implicit
+    anchoring), pattern not analyzed."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryParseError("regexp expects exactly one field")
+    fname, spec = next(iter(body.items()))
+    if fname not in ctx.fields:
+        raise QueryParseError(f"unknown field: {fname!r}")
+    if isinstance(spec, dict):
+        value = spec.get("value", spec.get("regexp"))
+        if value is None:
+            raise QueryParseError("regexp missing 'value'")
+        boost_v = float(spec.get("boost", 1.0))
+    else:
+        value, boost_v = spec, 1.0
+    return boost(Regexp(fname, _as_string(value)), boost_v)
+
+
 def _parse_fuzzy(body: dict, ctx: ParseContext) -> Query:
     """ES-style fuzzy query: {"fuzzy": {field: "value"}} or the
     object form with 'value', 'fuzziness' (int or "AUTO", default
@@ -422,6 +452,7 @@ _PARSERS = {
     "in": _parse_terms,
     "prefix": _parse_prefix,
     "wildcard": _parse_wildcard,
+    "regexp": _parse_regexp,
     "fuzzy": _parse_fuzzy,
     "and": _parse_and,
     "or": _parse_or,

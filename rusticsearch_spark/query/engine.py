@@ -84,6 +84,22 @@ def wildcard_regex(pattern: str) -> Tuple[str, str]:
     return "^" + "".join(out) + "$", "".join(lit)
 
 
+def regex_literal_prefix(pattern: str) -> str:
+    """Leading run of plain literal characters before the first regex
+    metacharacter — a sound dictionary range-prune for an anchored
+    whole-term regex.  A char FOLLOWED by a quantifier is not part of
+    the mandatory prefix, so the scan stops one short of ?*+{."""
+    meta = set(".^$*+?()[]{}|\\")
+    out: List[str] = []
+    for i, ch in enumerate(pattern):
+        if ch in meta:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "?*{":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 def editdist_leq(a: str, b: str, k: int) -> bool:
     """Levenshtein(a, b) <= k — banded DP, O(len·k); must agree with
     Spark's F.levenshtein and DuckDB's levenshtein() (plain unit-cost
@@ -883,8 +899,15 @@ class SearchEngine:
         prefix.  Legacy indexes fall back to a Spark-side rlike /
         levenshtein block filter plus a countDistinct divisor."""
         import re
-        if isinstance(q, dsl.Wildcard):
-            regex, hint = wildcard_regex(q.pattern)
+        if isinstance(q, (dsl.Wildcard, dsl.Regexp)):
+            if isinstance(q, dsl.Wildcard):
+                regex, hint = wildcard_regex(q.pattern)
+            else:
+                # ES regexp semantics: whole-term match.  The literal
+                # prefix (chars before the first metacharacter) range-
+                # prunes the dictionary scan like a prefix query.
+                regex = "^(?:" + q.pattern + ")$"
+                hint = regex_literal_prefix(q.pattern)
             rx = re.compile(regex)
 
             def match_fn(t: str) -> bool:
@@ -930,7 +953,7 @@ class SearchEngine:
         if isinstance(q, dsl.Prefix):
             return self._score_prefix(q, needs_score=False) \
                 .select("doc_id").distinct()
-        if isinstance(q, (dsl.Wildcard, dsl.Fuzzy)):
+        if isinstance(q, (dsl.Wildcard, dsl.Regexp, dsl.Fuzzy)):
             return self._score_selector(q, needs_score=False) \
                 .select("doc_id").distinct()
         if isinstance(q, dsl.Conjunction):
@@ -1007,7 +1030,7 @@ class SearchEngine:
             return ("df", self._score_term(q.field, q.term, q.scorer))
         if isinstance(q, dsl.Prefix):
             return ("df", self._score_prefix(q))
-        if isinstance(q, (dsl.Wildcard, dsl.Fuzzy)):
+        if isinstance(q, (dsl.Wildcard, dsl.Regexp, dsl.Fuzzy)):
             return ("df", self._score_selector(q))
         if isinstance(q, dsl.Conjunction):
             return self._combine(q.queries, mode="and")

@@ -157,16 +157,40 @@ class LocalSearcher:
         return ids, s
 
     def _prefix(self, q: dsl.Prefix) -> Frame:
-        matched = [k for k in self._post if k[0] == q.field
-                   and k[1].startswith(q.prefix)]
+        return self._multiterm(q.field,
+                               lambda t: t.startswith(q.prefix),
+                               q.scorer)
+
+    def _selector(self, q) -> Frame:
+        """Wildcard / Regexp / Fuzzy over the in-memory dictionary —
+        the same match predicates the distributed engine's
+        selector_stats applies (query/engine.py)."""
+        import re
+        from .engine import editdist_leq, wildcard_regex
+        if isinstance(q, dsl.Wildcard):
+            rx = re.compile(wildcard_regex(q.pattern)[0])
+            return self._multiterm(
+                q.field, lambda t: rx.match(t) is not None, q.scorer)
+        if isinstance(q, dsl.Regexp):
+            rx = re.compile("^(?:" + q.pattern + ")$")
+            return self._multiterm(
+                q.field, lambda t: rx.match(t) is not None, q.scorer)
+        hint = q.term[:q.prefix_length]
+        return self._multiterm(
+            q.field,
+            lambda t: t.startswith(hint)
+            and editdist_leq(t, q.term, q.fuzziness), q.scorer)
+
+    def _multiterm(self, field: str, match_fn, scorer) -> Frame:
+        matched = [k for k in self._post if k[0] == field
+                   and match_fn(k[1])]
         if not matched:
             return _EMPTY
-        # Avg divisor = prefix matches in the GLOBAL term dictionary
-        # (all fields; term_dictionary.rs:78-85) — out-of-field terms
+        # Avg divisor = matches in the GLOBAL term dictionary (all
+        # fields; term_dictionary.rs:78-85) — out-of-field terms
         # contribute 0 to every doc but still count
-        n_dict = len({t for _, t in self._post
-                      if t.startswith(q.prefix)})
-        frames = [self._term(f, t, q.scorer) for f, t in matched]
+        n_dict = len({t for _, t in self._post if match_fn(t)})
+        frames = [self._term(f, t, scorer) for f, t in matched]
         ids, s = self._sum_frames(frames)
         return ids, s / float(n_dict)
 
@@ -188,6 +212,8 @@ class LocalSearcher:
             return ("df", self._term(q.field, q.term, q.scorer))
         if isinstance(q, dsl.Prefix):
             return ("df", self._prefix(q))
+        if isinstance(q, (dsl.Wildcard, dsl.Regexp, dsl.Fuzzy)):
+            return ("df", self._selector(q))
         if isinstance(q, (dsl.Conjunction, dsl.Disjunction,
                           dsl.DisjunctionMax)):
             mode = ("and" if isinstance(q, dsl.Conjunction) else

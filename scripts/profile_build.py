@@ -25,16 +25,27 @@ SRC = sys.argv[2] if len(sys.argv) > 2 else \
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-spark = (SparkSession.builder.master(f"local[{CPUS}]")
-         .config("spark.sql.shuffle.partitions", "64")
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
+_builder = (SparkSession.builder.master(f"local[{CPUS}]")
+         .config("spark.sql.shuffle.partitions", str(SHUFFLE))
          .config("spark.sql.files.maxPartitionBytes", "8m")
          .config("spark.sql.files.openCostInBytes", "1m")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.buffer.pageSize", "1m")
          .config("spark.driver.memory", "24g")
-         .config("spark.ui.enabled", "false")
-         .getOrCreate())
+         .config("spark.ui.enabled", "false"))
+# optional: put shuffle/spill files on a different device (e.g. a
+# tmpfs) to separate CPU/memory scaling from the sandbox's single
+# shared virtio disk — on a real cluster every executor brings its
+# own local disks, so disk bandwidth scales WITH executors there
+if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+    _builder = _builder.config("spark.local.dir",
+                               os.environ["SPARK_GRAFT_LOCAL_DIR"])
+if os.environ.get("SPARK_GRAFT_JAVA_OPTS"):
+    _builder = _builder.config("spark.driver.extraJavaOptions",
+                               os.environ["SPARK_GRAFT_JAVA_OPTS"])
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 from rusticsearch_spark.analysis.analyzers import AnalyzerRegistry
@@ -47,7 +58,8 @@ from rusticsearch_spark.index.layout import IndexConfig, term_bucket_col
 cfg = IndexConfig(key_col="url", fields={"text": "standard", "lang": None},
                   n_buckets=64, tbuckets=4, shuffle_partitions=64)
 reg = AnalyzerRegistry()
-out = f"/tmp/profile_idx_{CPUS}"
+out = os.environ.get("SPARK_GRAFT_PROFILE_OUT",
+                     "/tmp") + f"/profile_idx_{CPUS}"
 shutil.rmtree(out, ignore_errors=True)
 os.makedirs(out)
 
@@ -71,7 +83,7 @@ flat = _posting_rows(ids2, cfg, reg, precount=cfg.precount)
 phase("tokenize", lambda: flat.count())
 
 phase("full_encode", lambda: (
-    flat.repartition(64, "field_ord", "term",
+    flat.repartition(SHUFFLE, "field_ord", "term",
                      F.shiftrightunsigned("doc_id", SEGMENT_BITS))
     .withColumn("segment", F.shiftrightunsigned("doc_id", SEGMENT_BITS))
     .withColumn("tbucket", term_bucket_col(F.col("term"), cfg.tbuckets))

@@ -91,3 +91,43 @@ def test_engine_local_mode_matches_spark_mode(spark, index_dir):
     import pytest
     with pytest.raises(ValueError, match="f32"):
         SearchEngine(spark, index_dir, precision="f64", mode="local")
+
+
+def test_local_selector_queries_match_engine(spark, index_dir):
+    """Wildcard/regexp/fuzzy parity: LocalSearcher vs the distributed
+    planner, ids AND scores (both are f32-exact)."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.query.local import LocalSearcher
+    dist = SearchEngine(spark, index_dir)
+    loc = LocalSearcher(index_dir)
+    for q in [{"wildcard": {"text": "s*a*"}},
+              {"regexp": {"text": "m[ae]r.*"}},
+              {"fuzzy": {"text": {"value": "part", "fuzziness": 2}}}]:
+        a = [(r.doc_id, round(r.score, 5)) for r in
+             dist.search(q, size=15).collect()]
+        b = [(d, round(s, 5)) for d, s in loc.search(q, size=15)]
+        assert a == b and len(a) > 0, q
+
+
+def test_cluster_serving_mode_auto(spark, webtext, tmp_path):
+    """Cluster(serving_mode='auto') serves a small index locally and
+    returns the same hits as the default Spark-planned cluster."""
+    from rusticsearch_spark.cluster import Cluster
+    kw = dict(key_col="url", n_buckets=4, tbuckets=2,
+              shuffle_partitions=4)
+    mapping = {"properties": {
+        "text": {"type": "string"},
+        "lang": {"type": "string", "index": "not_analyzed"}}}
+    docs = webtext.select("url", "text", "lang").limit(30)
+    a = Cluster(spark, str(tmp_path / "ca"))
+    a.create_index("p", mapping, key_col="url")
+    a.bulk("p", docs, **kw)
+    b = Cluster(spark, str(tmp_path / "cb"), serving_mode="auto")
+    b.create_index("p", mapping, key_col="url")
+    b.bulk("p", docs, **kw)
+    assert b.engine("p").mode == "local"
+    q = {"match": {"text": "table scan"}}
+    ha = [(h["key"], round(h["score"], 5)) for h in a.search("p", q, size=5)]
+    hb = [(h["key"], round(h["score"], 5)) for h in b.search("p", q, size=5)]
+    assert ha == hb and len(ha) > 0
+    assert a.count("p", q) == b.count("p", q)

@@ -118,3 +118,34 @@ def test_parse_errors():
     assert q.fuzziness == 1          # AUTO: len 5 → 1 edit
     q = dsl.parse({"fuzzy": {"text": "extraordinary"}}, ctx)
     assert q.fuzziness == 2
+
+
+def test_regex_literal_prefix():
+    from rusticsearch_spark.query.engine import regex_literal_prefix
+    assert regex_literal_prefix("s(can|ort)") == "s"
+    assert regex_literal_prefix("scan") == "scan"
+    assert regex_literal_prefix("sca?n") == "sc"     # 'a' is optional
+    assert regex_literal_prefix("sc[ao]n") == "sc"
+    assert regex_literal_prefix(".*x") == ""
+    assert regex_literal_prefix("ab{2}") == "a"
+
+
+def test_regexp_dictionary_path_matches_legacy(engine):
+    q = {"regexp": {"text": "m[ae]r.*"}}
+    a = sorted((r.doc_id, round(r.score, 5)) for r in
+               engine.search(q, size=500).collect())
+    bak = engine.dict_reader
+    engine.dict_reader = None
+    try:
+        b = sorted((r.doc_id, round(r.score, 5)) for r in
+                   engine.search(q, size=500).collect())
+    finally:
+        engine.dict_reader = bak
+    assert a == b and len(a) > 0
+
+
+def test_regexp_whole_term_anchoring(engine):
+    """'merg' must NOT match 'merge' (whole-term semantics)."""
+    assert engine.count({"regexp": {"text": "merg"}}) == 0
+    assert engine.count({"regexp": {"text": "merge"}}) == \
+        engine.count({"term": {"text": "merge"}})
