@@ -52,7 +52,8 @@ from pyspark.sql import types as T
 from ..analysis.analyzers import Analyzer, AnalyzerRegistry, parse_analysis_settings
 from .codec import (BUCKET_SHIFT, LOCAL_MASK, SEGMENT_BITS, encode_block,
                     varbyte_encode_offsets)
-from .layout import IndexConfig, IndexLayout, term_bucket, term_bucket_col
+from .layout import (IndexConfig, IndexLayout, qname, term_bucket,
+                     term_bucket_col)
 
 POSTINGS_SCHEMA = T.StructType([
     T.StructField("field", T.StringType()),
@@ -390,9 +391,9 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
             # length 1 token → len_byte 0 (= decoded length 1.0),
             # matching schema.rs:72-78 semantics.
             parts.append(
-                ids.where(F.col(fname).isNotNull()).select(
+                ids.where(F.col(qname(fname)).isNotNull()).select(
                     F.lit(ford).alias("field_ord"),
-                    F.col(fname).cast("string").alias("term"),
+                    F.col(qname(fname)).cast("string").alias("term"),
                     F.col("doc_id"),
                     F.lit(0).alias("len_byte"),
                 ))
@@ -401,9 +402,9 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
             # array of plain strings: every non-null item is one term
             # at the next position (mapping/mod.rs:192-227) → tf per
             # duplicate item, field length = item count
-            arr = F.filter(F.col(fname), lambda x: x.isNotNull())
+            arr = F.filter(F.col(qname(fname)), lambda x: x.isNotNull())
             parts.append(
-                ids.where(F.col(fname).isNotNull())
+                ids.where(F.col(qname(fname)).isNotNull())
                 .select(F.col("doc_id"), arr.alias("items"))
                 .where(F.size("items") > 0)
                 .withColumn("len_byte",
@@ -416,19 +417,19 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
                 ))
             continue
         analyzer = registry.get(analyzer_name)
-        base = ids.where(F.col(fname).isNotNull())
+        base = ids.where(F.col(qname(fname)).isNotNull())
         if is_array:
-            items = F.filter(F.col(fname), lambda x: x.isNotNull())
+            items = F.filter(F.col(qname(fname)), lambda x: x.isNotNull())
             sql_col = (F.flatten(F.transform(
                 items, lambda x: sql_terms_column(analyzer.sql_kind, x)))
                 if analyzer.sql_kind else None)
-            unsafe = F.exists(F.col(fname),
+            unsafe = F.exists(F.col(qname(fname)),
                               lambda x: x.rlike(SQL_UNSAFE_CHAR))
             tok = tokenize_array_udf(analyzer)
         else:
-            sql_col = (sql_terms_column(analyzer.sql_kind, F.col(fname))
+            sql_col = (sql_terms_column(analyzer.sql_kind, F.col(qname(fname)))
                        if analyzer.sql_kind else None)
-            unsafe = F.col(fname).rlike(SQL_UNSAFE_CHAR)
+            unsafe = F.col(qname(fname)).rlike(SQL_UNSAFE_CHAR)
             tok = tokenize_udf(analyzer)
         if sql_col is not None:
             # SQL fast path for safe rows, pandas UDF for the rest.
@@ -440,10 +441,10 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
             t = (base.where(~unsafe).select(
                     F.col("doc_id"), sql_col.alias("terms"))
                  .unionByName(base.where(unsafe).select(
-                    F.col("doc_id"), tok(F.col(fname)).alias("terms"))))
+                    F.col("doc_id"), tok(F.col(qname(fname))).alias("terms"))))
         else:
             t = base.select(
-                F.col("doc_id"), tok(F.col(fname)).alias("terms"))
+                F.col("doc_id"), tok(F.col(qname(fname))).alias("terms"))
         parts.append(
             t.withColumn("len_byte",
                          F.expr(length_byte_sql("size(terms)")))
@@ -484,7 +485,7 @@ def _field_stats(spark: SparkSession, ids: DataFrame, term_dict_dir: str,
     ``(stats_rows, n_blocks)``.
     """
     doc_counts = ids.agg(*[
-        F.count(F.col(f)).alias(f) for f in config.fields]).collect()[0]
+        F.count(F.col(qname(f))).alias(f) for f in config.fields]).collect()[0]
     tok_rows = (spark.read.parquet(term_dict_dir)
                 .groupBy("field").agg(F.sum("sum_tf").alias("t"),
                                       F.sum("n_blocks").alias("b")).collect())
@@ -561,7 +562,8 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     doc_cols = ["doc_id", config.key_col] + [
         c for c in dict.fromkeys(list(config.fields) + config.stored)
         if c != config.key_col]
-    ids.select(*doc_cols).write.mode("overwrite").parquet(
+    ids.select(*[F.col(qname(c)).alias(c) for c in doc_cols]) \
+        .write.mode("overwrite").parquet(
         layout.job_dir("docs", job))
     _trace("docs_write")
     ids = spark.read.parquet(layout.job_dir("docs", job))

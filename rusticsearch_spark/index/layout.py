@@ -34,6 +34,17 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def qname(col: str) -> str:
+    """Column reference for a field name that may contain dots.
+
+    Nested-object fields are flattened to TOP-LEVEL columns literally
+    named ``author.name`` (mapping.prepare_docs); Spark's analyzer
+    parses an unquoted dot as struct-path navigation, so every
+    by-name reference to a possibly-dotted field column must
+    backtick-quote it."""
+    return f"`{col}`" if "." in col and not col.startswith("`") else col
+
+
 @dataclass
 class IndexConfig:
     """Build-time configuration, persisted to ``config.json``.

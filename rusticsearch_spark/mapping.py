@@ -64,14 +64,36 @@ class MappingParseError(ValueError):
 
 
 def parse_mapping(mapping_json: dict,
-                  default_analyzer: str = "standard") -> List[FieldMapping]:
-    """Parse the ``properties`` dict of an ES mapping body."""
+                  default_analyzer: str = "standard",
+                  _prefix: str = "") -> List[FieldMapping]:
+    """Parse the ``properties`` dict of an ES mapping body.
+
+    Nested OBJECT mappings (``{"author": {"properties": {...}}}`` or
+    explicit ``type: "object"``) recurse into dotted field names
+    (``author.name``) — ES object-field semantics, and the closure of
+    the reference's own TODO (/root/reference/src/document.rs:87-89
+    "Nested objects" left unimplemented).  The ES ``nested`` TYPE
+    (independent matching per array element) is a different feature
+    and is rejected with a clear error."""
     props = mapping_json.get("properties", mapping_json)
     if not isinstance(props, dict) or not props:
         raise MappingParseError("mapping needs non-empty 'properties'")
     out: List[FieldMapping] = []
-    for name, spec in props.items():
+    for short, spec in props.items():
         spec = spec or {}
+        name = _prefix + short
+        if spec.get("type") == "nested":
+            raise MappingParseError(
+                f"field {name!r}: ES 'nested' type (independent "
+                "array-element matching) is not supported; use an "
+                "object mapping (dotted subfields) instead")
+        if "properties" in spec:
+            if spec.get("type") not in (None, "object"):
+                raise MappingParseError(
+                    f"field {name!r}: 'properties' requires object type")
+            out.extend(parse_mapping(spec, default_analyzer,
+                                     _prefix=name + "."))
+            continue
         ftype = spec.get("type", "string")
         if ftype not in MAPPING_TYPES:
             raise MappingParseError(f"unknown field type: {ftype!r}")
@@ -152,21 +174,36 @@ def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
       booleans → 'true'/'false', integers → decimal string, dates →
       ISO-8601 micros (terms.py documents the byte-level equivalence);
     * ``_all`` = space-joined include_in_all string values in mapping
-      order (document.rs:100-118).
+      order (document.rs:100-118);
+    * nested object fields (``author.name``) flattened from their
+      struct columns into TOP-LEVEL columns literally named with the
+      dotted path; the root struct columns are dropped afterwards so
+      every later by-name reference resolves unambiguously (via
+      ``layout.qname`` backtick quoting).
     """
+    from .index.layout import qname
     out = docs
+    roots = set()
     for f in fields:
+        if "." in f.name:
+            # struct-path navigation while the root struct is still
+            # present; withColumn names the result LITERALLY
+            out = out.withColumn(f.name, F.col(f.name))
+            roots.add(f.name.split(".", 1)[0])
+    for r in sorted(roots):
+        out = out.drop(r)
+    for f in fields:
+        c = F.col(qname(f.name))
         if f.type == "boolean":
             out = out.withColumn(
-                f.name, F.when(F.col(f.name), "true")
-                .otherwise(F.when(~F.col(f.name), "false")))
+                f.name, F.when(c, "true")
+                .otherwise(F.when(~c, "false")))
         elif f.type == "integer":
-            out = out.withColumn(f.name, F.col(f.name).cast("long")
-                                 .cast("string"))
+            out = out.withColumn(f.name, c.cast("long").cast("string"))
         elif f.type == "date":
-            out = out.withColumn(f.name, canonical_date_col(F.col(f.name)))
+            out = out.withColumn(f.name, canonical_date_col(c))
     if with_all and any(f.include_in_all for f in fields):
-        parts = [F.coalesce(F.col(f.name), F.lit(""))
+        parts = [F.coalesce(F.col(qname(f.name)), F.lit(""))
                  for f in fields if f.include_in_all]
         out = out.withColumn("_all", F.concat_ws(" ", *parts))
     return out

@@ -406,7 +406,9 @@ class SearchEngine:
         key = self.config.key_col
         known = [f for f in (fields or []) if f in self.docs.columns]
         cols = ["doc_id", key] + [f for f in known if f != key]
-        joined = (top.join(self.docs.select(*cols), "doc_id")
+        from ..index.layout import qname
+        proj = [F.col(qname(c)).alias(c) for c in cols]
+        joined = (top.join(self.docs.select(*proj), "doc_id")
                   .orderBy(F.desc("score"), F.asc("doc_id")).collect())
         out = []
         for r in joined:
