@@ -134,6 +134,33 @@ def main() -> None:
     p95 = all_lat[min(len(all_lat) - 1, int(len(all_lat) * 0.95))]
     p50 = all_lat[len(all_lat) // 2]
 
+    # local-serving lane: the reference is a SINGLE-NODE server, so
+    # the apples-to-apples BM25 top-10 latency is the driver-side
+    # LocalSearcher over the same artifact (query/local.py — exact
+    # f32 rank identity), not a Spark job per query.  Additive keys;
+    # the Spark-lane numbers above are unchanged.
+    local_lat: dict = {}
+    try:
+        from rusticsearch_spark.query.local import LocalSearcher
+        ls = LocalSearcher(idx_dir)
+        lruns_all = []
+        for name, q in BENCH_QUERIES:
+            ls.count() if q is None else ls.search(q, size=10)  # warm
+            runs = []
+            for _ in range(max(RUNS_PER_QUERY, 3)):
+                t0 = time.monotonic()
+                ls.count() if q is None else ls.search(q, size=10)
+                runs.append(time.monotonic() - t0)
+            runs.sort()
+            local_lat[name] = round(runs[len(runs) // 2], 5)
+            lruns_all.extend(runs)
+        lruns_all.sort()
+        local_p50 = round(lruns_all[len(lruns_all) // 2], 5)
+        local_p95 = round(lruns_all[min(len(lruns_all) - 1,
+                                        int(len(lruns_all) * 0.95))], 5)
+    except Exception:
+        local_p50 = local_p95 = None
+
     total = build_sec + sum(latencies.values())
     print(json.dumps({
         "metric": "index_build_plus_bm25_query_wall",
@@ -147,6 +174,9 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "query_p50_sec": round(p50, 4),
         "query_p95_sec": round(p95, 4),
+        "serving_local_queries": local_lat,
+        "serving_local_p50_sec": local_p50,
+        "serving_local_p95_sec": local_p95,
     }))
     spark.stop()
 
