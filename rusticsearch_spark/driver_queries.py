@@ -333,6 +333,59 @@ FROM pts CROSS JOIN nt GROUP BY 1
 """
 
 
+_nested_engines: Dict[str, SearchEngine] = {}
+
+
+def q_fts_nested(spark, sf_dir):
+    """Nested OBJECT mapping end-to-end: documents get a
+    ``meta struct<source>`` column, the mapping declares
+    ``meta.properties.source`` (not_analyzed), and a term query on
+    the dotted field ``meta.source`` scores with plain-string BM25
+    (tf=1, field length 1) — the reference's document.rs:87-89 TODO
+    closed and oracle-checked."""
+    key = os.path.normpath(sf_dir)
+    eng = _nested_engines.get(key)
+    if eng is None:
+        from .mapping import (mapping_to_config, parse_mapping,
+                              prepare_docs)
+        idx_dir = os.path.join(_CACHE_ROOT, os.path.basename(key),
+                               "nested_idx")
+        layout = IndexLayout(idx_dir)
+        try:
+            ok = bool(layout.completed_jobs(spark))
+        except Exception:
+            ok = False
+        if not ok:
+            fields = parse_mapping({"properties": {"meta": {
+                "properties": {"source": {"type": "string",
+                                          "index": "not_analyzed"}}}}})
+            docs = (_docs(spark, sf_dir)
+                    .withColumnRenamed("doc_id", "src_doc_id")
+                    .withColumn("meta", F.struct(F.col("source"))))
+            prepared = prepare_docs(docs.select("src_doc_id", "meta"),
+                                    fields, with_all=False)
+            build_index(spark, prepared, idx_dir, mapping_to_config(
+                fields, key_col="src_doc_id", with_all=False,
+                n_buckets=8, tbuckets=4), jobs=1)
+        eng = SearchEngine(spark, idx_dir, precision="f64")
+        _nested_engines[key] = eng
+    return _scored(eng, {"term": {"meta.source": "src3"}})
+
+
+def sql_fts_nested():
+    from .similarity import bm25_sql
+    score = bm25_sql("1", "0", "sf.df", "s.d", "s.t")
+    return f"""
+WITH s AS (SELECT count(*) AS d, count(*) AS t FROM documents
+           WHERE source IS NOT NULL),
+sf AS (SELECT source, count(*)::BIGINT AS df FROM documents
+       WHERE source IS NOT NULL GROUP BY 1)
+SELECT d.doc_id, ROUND({score}, 6) AS score
+FROM documents d JOIN sf ON d.source = sf.source CROSS JOIN s
+WHERE d.source = 'src3'
+"""
+
+
 def q_fts_prefix_lang(spark, sf_dir):
     """Prefix on the plain `lang` field where the GLOBAL-dictionary
     Avg divisor differs from the per-field term count: 'e%' matches
@@ -1227,6 +1280,7 @@ QUERIES: Dict[str, Callable] = {
     "fts_count": q_fts_count,
     "fts_prefix": q_fts_prefix,
     "fts_prefix_lang": q_fts_prefix_lang,
+    "fts_nested": q_fts_nested,
     "fts_wildcard": q_fts_wildcard,
     "fts_regexp": q_fts_regexp,
     "fts_fuzzy": q_fts_fuzzy,
@@ -1269,6 +1323,7 @@ ORACLES: Dict[str, str] = {
     "fts_count": sql_fts_count(),
     "fts_prefix": sql_fts_prefix(),
     "fts_prefix_lang": sql_fts_prefix_lang(),
+    "fts_nested": sql_fts_nested(),
     "fts_wildcard": sql_fts_wildcard(),
     "fts_regexp": sql_fts_regexp(),
     "fts_fuzzy": sql_fts_fuzzy(),
