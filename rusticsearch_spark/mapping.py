@@ -81,6 +81,16 @@ def parse_mapping(mapping_json: dict,
     out: List[FieldMapping] = []
     for short, spec in props.items():
         spec = spec or {}
+        if "`" in short:
+            raise MappingParseError(
+                f"illegal character in field name: {short!r}")
+        if "." in short:
+            # dotted PROPERTY names would be indistinguishable from
+            # nested paths after flattening (ES likewise treats dots
+            # as object-path separators since 2.x)
+            raise MappingParseError(
+                f"field name {short!r} contains '.'; declare nested "
+                "objects via 'properties' instead")
         name = _prefix + short
         if spec.get("type") == "nested":
             raise MappingParseError(

@@ -112,3 +112,10 @@ def test_prepare_docs_drops_root_struct(spark):
     row = out.collect()[0]
     assert row["author.verified"] == "true"
     assert row["author.followers"] == "1"
+
+
+def test_illegal_field_names_rejected():
+    with pytest.raises(MappingParseError, match="'[.]'"):
+        parse_mapping({"properties": {"a.b": {"type": "string"}}})
+    with pytest.raises(MappingParseError, match="illegal"):
+        parse_mapping({"properties": {"a`b": {"type": "string"}}})
