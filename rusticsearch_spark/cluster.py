@@ -116,7 +116,7 @@ class Cluster:
             raise NameRegistryError(f"unknown index: {name!r}")
         fields = self._mappings[name]
         cfg = mapping_to_config(fields, key_col=key_col, **config_kwargs)
-        prepared = prepare_docs(docs, fields)
+        prepared = prepare_docs(docs, fields, key_col=key_col)
         report = build_index(self.spark, prepared, self._dir(name), cfg,
                              jobs=jobs, resume=resume)
         self._engines.pop(name, None)

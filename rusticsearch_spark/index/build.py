@@ -471,21 +471,27 @@ def _posting_rows(ids: DataFrame, config: IndexConfig,
     return out.withColumn("tf", F.lit(1))
 
 
-def _field_stats(spark: SparkSession, ids: DataFrame, term_dict_dir: str,
-                 config: IndexConfig) -> List[dict]:
+def _field_stats(spark: SparkSession, ids: Optional[DataFrame],
+                 term_dict_dir: str, config: IndexConfig,
+                 doc_counts: Optional[Dict[str, int]] = None) -> List[dict]:
     """Per-field (total_docs, total_tokens) — the reference's global
     ``ftdoc``/``fttok`` statistics (segment_builder.rs:91-117 summed
     across segments per rocksdb/search/statistics.rs:33-78).
 
-    ``total_docs`` = docs where the field is present (one cheap
-    columnar count over all fields at once); ``total_tokens`` and the
-    lineage block count come from the already-aggregated term_dict
-    sidecar (``sum(sum_tf)`` / ``sum(n_blocks)`` per field) — the
-    postings metadata is never re-scanned.  Returns
-    ``(stats_rows, n_blocks)``.
+    ``total_docs`` = docs where the field is present.  The build path
+    passes it in via ``doc_counts`` — collected for free by an
+    ``observe()`` on the docs-write job (no extra scan/job); the
+    merge path passes ``ids`` and pays one columnar count over all
+    fields at once.  ``total_tokens`` and the lineage block count
+    come from the already-aggregated term_dict sidecar
+    (``sum(sum_tf)`` / ``sum(n_blocks)`` per field) — the postings
+    metadata is never re-scanned.  Returns ``(stats_rows, n_blocks)``.
     """
-    doc_counts = ids.agg(*[
-        F.count(F.col(qname(f))).alias(f) for f in config.fields]).collect()[0]
+    if doc_counts is None:
+        row = ids.agg(*[F.count(F.col(qname(f))).alias(f"f{i}")
+                        for i, f in enumerate(config.fields)]).collect()[0]
+        doc_counts = {f: int(row[f"f{i}"])
+                      for i, f in enumerate(config.fields)}
     tok_rows = (spark.read.parquet(term_dict_dir)
                 .groupBy("field").agg(F.sum("sum_tf").alias("t"),
                                       F.sum("n_blocks").alias("b")).collect())
@@ -493,6 +499,23 @@ def _field_stats(spark: SparkSession, ids: DataFrame, term_dict_dir: str,
     n_blocks = sum(int(r.b) for r in tok_rows)
     return [{"field": f, "total_docs": int(doc_counts[f]),
              "total_tokens": tok.get(f, 0)} for f in config.fields], n_blocks
+
+
+def _write_field_stats(path: str, stats_rows: List[dict]) -> None:
+    """field_stats sidecar: a handful of driver-resident rows —
+    written without a Spark job (see layout.write_small_table)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from .layout import write_small_table
+    shutil.rmtree(path, ignore_errors=True)
+    write_small_table(
+        path, [{"field": r["field"], "total_docs": r["total_docs"],
+                "total_tokens": r["total_tokens"]} for r in stats_rows],
+        schema=pa.schema([("field", pa.string()),
+                          ("total_docs", pa.int64()),
+                          ("total_tokens", pa.int64())]))
 
 
 def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
@@ -558,17 +581,28 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
             _last[0] = now
 
     # docs table first; re-read it so the id computation runs once and
-    # downstream stages read a pruned columnar scan.
+    # downstream stages read a pruned columnar scan.  The row count and
+    # per-field presence counts (the ftdoc statistics) ride on the SAME
+    # job as observe() metrics — zero extra jobs/scans for stats (the
+    # previous count() + field-agg jobs were a measurable slice of the
+    # build's Amdahl-serial share at high parallelism).
+    from pyspark.sql import Observation
+    obs = Observation(f"build_job_{job}")
     doc_cols = ["doc_id", config.key_col] + [
         c for c in dict.fromkeys(list(config.fields) + config.stored)
         if c != config.key_col]
+    field_alias = {f: f"__fdocs_{i}" for i, f in enumerate(config.fields)}
     ids.select(*[F.col(qname(c)).alias(c) for c in doc_cols]) \
+        .observe(obs, F.count(F.lit(1)).alias("__n_docs"),
+                 *[F.count(F.col(qname(f))).alias(a)
+                   for f, a in field_alias.items()]) \
         .write.mode("overwrite").parquet(
         layout.job_dir("docs", job))
+    metrics = obs.get
+    n_docs = int(metrics["__n_docs"])
+    doc_counts = {f: int(metrics[a]) for f, a in field_alias.items()}
     _trace("docs_write")
     ids = spark.read.parquet(layout.job_dir("docs", job))
-    n_docs = ids.count()  # parquet metadata only
-    _trace("docs_count")
 
     # PK sidecar: (key, doc_id) bucketed by a global key hash, so
     # upsert/delete point lookups prune to corpus/kbuckets instead of
@@ -626,11 +660,12 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     _trace("term_dict")
 
     # field stats derive from the (tiny) dictionary — the postings
-    # metadata is scanned exactly once per job, by the dict agg above
+    # metadata is scanned exactly once per job, by the dict agg above —
+    # plus the doc counts already observed on the docs-write job
     stats_rows, n_blocks = _field_stats(
-        spark, ids, layout.job_dir("term_dict", job), config)
-    spark.createDataFrame(stats_rows).coalesce(1).write \
-        .mode("overwrite").parquet(layout.job_dir("field_stats", job))
+        spark, None, layout.job_dir("term_dict", job), config,
+        doc_counts=doc_counts)
+    _write_field_stats(layout.job_dir("field_stats", job), stats_rows)
     _trace("field_stats")
 
     row = {

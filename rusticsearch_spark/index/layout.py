@@ -80,6 +80,12 @@ class IndexConfig:
     kbuckets: int = 64
     shuffle_partitions: Optional[int] = None
     analysis_settings: Optional[dict] = None  # ES-style custom analyzers
+    #: ES `nested`-TYPE paths: array fields whose elements were
+    #: indexed as child documents (rows with `_nested_parent` = the
+    #: parent's key).  Non-empty ⇒ the engine treats child rows as
+    #: internal (excluded from match_all/negation universes) and
+    #: accepts `nested` queries on these paths.
+    nested_paths: List[str] = field(default_factory=list)
     #: stamp of the analysis pipeline the index was BUILT with
     #: (analysis.ANALYSIS_VERSION).  The engine refuses to open an
     #: index whose stamp differs from the running code's — an
@@ -95,6 +101,24 @@ class IndexConfig:
     @staticmethod
     def from_json(text: str) -> "IndexConfig":
         return IndexConfig(**json.loads(text))
+
+
+def write_small_table(path: str, rows: List[dict], schema=None) -> None:
+    """Write a driver-resident list of dicts as a one-file parquet
+    directory WITHOUT a Spark job.  The build's tiny sidecars
+    (field_stats, lineage commits) are a handful of rows; launching a
+    Spark job for each added a fixed serialized driver cost per build
+    job — measurable against the Amdahl share at high parallelism.
+    Readers (spark.read.parquet) see the same layout Spark writes.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    cols = list(rows[0].keys())
+    data = {c: [r[c] for r in rows] for c in cols}
+    tbl = (pa.table(data, schema=schema) if schema is not None
+           else pa.table(data))
+    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
 
 
 def term_bucket(term: str, tbuckets: int) -> int:
@@ -206,16 +230,27 @@ class IndexLayout:
         """
         job = row["job"]
         # fixed schema across batch + streaming jobs (parquet partition
-        # discovery unions job dirs, so columns must agree)
+        # discovery unions job dirs, so columns must agree).  Written
+        # driver-side (no Spark job): one row, and the per-job Spark
+        # launch cost is exactly the serialized driver work the
+        # scaling evidence attributes the 2->8 gap to.
+        import pyarrow as pa
         defaults = {"bucket_lo": -1, "bucket_hi": -1, "batch_id": -1,
                     "n_docs": 0, "n_posting_blocks": 0, "wall_sec": 0.0,
                     "status": "done", "finished_unix": 0,
                     "merged_from": ""}
         data = {**defaults, **{k: v for k, v in row.items() if k != "job"}}
         data = {k: data[k] for k in sorted(defaults)}
-        df = spark.createDataFrame([data])
-        df.coalesce(1).write.mode("overwrite").parquet(
-            self.job_dir("lineage", job))
+        types = {"bucket_lo": pa.int64(), "bucket_hi": pa.int64(),
+                 "batch_id": pa.int64(), "n_docs": pa.int64(),
+                 "n_posting_blocks": pa.int64(), "wall_sec": pa.float64(),
+                 "status": pa.string(), "finished_unix": pa.int64(),
+                 "merged_from": pa.string()}
+        target = self.job_dir("lineage", job)
+        shutil.rmtree(target, ignore_errors=True)
+        write_small_table(target, [data],
+                          schema=pa.schema([(k, types[k])
+                                            for k in sorted(defaults)]))
 
     def clear_incomplete_job(self, job: int) -> None:
         for name in ("docs", "doc_index", "postings", "term_dict",

@@ -30,7 +30,8 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .build import POSTINGS_SCHEMA, _encode_partitions, _field_stats
+from .build import (POSTINGS_SCHEMA, _encode_partitions, _field_stats,
+                    _write_field_stats)
 from .codec import decode_block
 from .layout import IndexConfig, IndexLayout
 
@@ -132,8 +133,7 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
     ids = spark.read.parquet(out.job_dir("docs", 0))
     stats, n_blocks = _field_stats(spark, ids,
                                    out.job_dir("term_dict", 0), config)
-    spark.createDataFrame(stats).coalesce(1).write.mode("overwrite") \
-        .parquet(out.job_dir("field_stats", 0))
+    _write_field_stats(out.job_dir("field_stats", 0), stats)
 
     row = {"job": 0, "n_docs": n_docs, "n_posting_blocks": n_blocks,
            "wall_sec": round(time.monotonic() - t0, 3), "status": "done",

@@ -143,6 +143,35 @@ class TermDictReader:
                 ftbs.add(int(tb))
         return n_global, sorted(fterms), sorted(ftbs)
 
+    def selector_stats_spark(self, spark, field: str, pred,
+                             max_terms: int = 65536
+                             ) -> Tuple[int, List[str], List[int]]:
+        """``selector_stats`` for UNANCHORED selectors (no literal
+        prefix: leading-``*`` wildcards, ``.*``-leading regexps,
+        fuzzy with prefix_length=0) — the one case where the driver
+        path would pull the ENTIRE dictionary into driver memory
+        (tens of GB at web scale).  Instead the match predicate runs
+        as a Spark filter over the term_dict sidecar parquet (it is
+        already a columnar table) and the driver collects ONLY the
+        matched (term, field-tbucket) rows, still bounded by
+        ``max_terms``.  ``pred`` is the SQL form of the selector
+        (rlike / levenshtein — exactly the legacy-fallback predicate,
+        so dictionary↔legacy parity is preserved by construction)."""
+        from pyspark.sql import functions as F
+        rows = (spark.read.parquet(*self.paths)
+                .where(pred)
+                .groupBy("term")
+                .agg(F.max(F.when(F.col("field") == field,
+                                  F.col("tbucket"))).alias("ftb"))
+                .limit(max_terms + 1)
+                .collect())
+        if len(rows) > max_terms:
+            raise ValueError(
+                f"selector matches more than {max_terms} terms")
+        fterms = sorted(r.term for r in rows if r.ftb is not None)
+        ftbs = sorted({int(r.ftb) for r in rows if r.ftb is not None})
+        return len(rows), fterms, ftbs
+
     def prefix_stats(self, prefix: str) -> Tuple[int, List[int]]:
         """(n_distinct_terms, sorted tbuckets) over the GLOBAL (all
         fields) dictionary slice matching ``prefix`` — the reference

@@ -42,6 +42,44 @@ from ..ops.similarity import (cosine_py, cosine_topk, hyperplane_bucket_expr,
 _META = "meta.json"
 
 
+def _assignment_rows(df: DataFrame, meta: dict):
+    """(rows, partition_cols) for ``df`` under ``meta``'s assignment —
+    a pure function of the vector and the frozen meta (planes/seed/
+    centroids), shared by build and APPEND so later batches land in
+    exactly the partitions a probe will read."""
+    kind = meta["kind"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if kind == "lsh":
+        return (base.withColumn(
+            "bucket", sign_bucket_expr(vec_col, meta["nbits"])), ["bucket"])
+    if kind == "hyperplane":
+        per_table = []
+        for t in range(meta["tables"]):
+            planes = lcg_planes(meta["nbits"], meta["dim"],
+                                seed=meta["seed"] + 7919 * t)
+            per_table.append(base
+                             .withColumn("tbl", F.lit(t))
+                             .withColumn("bucket", hyperplane_bucket_expr(
+                                 vec_col, planes)))
+        rows = per_table[0]
+        for other in per_table[1:]:
+            rows = rows.unionByName(other)
+        return rows, ["tbl", "bucket"]
+    if kind == "ivf":
+        cents = [(int(cid), vec) for cid, vec in meta["centroids"]]
+        return (base.withColumn(
+            "list", ivf_assign_expr(vec_col, cents)), ["list"])
+    raise ValueError(f"unknown vec-index kind: {kind!r}")
+
+
+def _write_rows(rows: DataFrame, parts: List[str], out_dir: str,
+                shuffle_partitions: int, mode: str) -> None:
+    (rows.repartition(shuffle_partitions, *[F.col(p) for p in parts])
+     .write.mode(mode).partitionBy(*parts)
+     .parquet(os.path.join(out_dir, "vectors")))
+
+
 def build_vec_index(df: DataFrame, out_dir: str, kind: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     nbits: int = 8, tables: int = 2,
@@ -55,40 +93,65 @@ def build_vec_index(df: DataFrame, out_dir: str, kind: str,
     dim = len(df.select(vec_col).first()[0])
     meta = {"kind": kind, "id_col": id_col, "vec_col": vec_col,
             "dim": dim}
-    base = df.select(F.col(id_col), F.col(vec_col))
     if kind == "lsh":
         meta["nbits"] = nbits
-        rows = base.withColumn("bucket", sign_bucket_expr(vec_col, nbits))
-        parts = ["bucket"]
     elif kind == "hyperplane":
         meta.update(nbits=nbits, tables=tables, seed=seed)
-        per_table = []
-        for t in range(tables):
-            planes = lcg_planes(nbits, dim, seed=seed + 7919 * t)
-            per_table.append(base
-                             .withColumn("tbl", F.lit(t))
-                             .withColumn("bucket", hyperplane_bucket_expr(
-                                 vec_col, planes)))
-        rows = per_table[0]
-        for other in per_table[1:]:
-            rows = rows.unionByName(other)
-        parts = ["tbl", "bucket"]
     elif kind == "ivf":
         if not centroids:
             raise ValueError("ivf index requires centroids")
         meta["centroids"] = [[int(cid), [float(x) for x in vec]]
                              for cid, vec in centroids]
-        rows = base.withColumn("list", ivf_assign_expr(vec_col, centroids))
-        parts = ["list"]
     else:
         raise ValueError(f"unknown vec-index kind: {kind!r}")
-    (rows.repartition(shuffle_partitions, *[F.col(p) for p in parts])
-     .write.mode("overwrite").partitionBy(*parts)
-     .parquet(os.path.join(out_dir, "vectors")))
+    rows, parts = _assignment_rows(df, meta)
+    _write_rows(rows, parts, out_dir, shuffle_partitions, "overwrite")
     tmp = os.path.join(out_dir, _META + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(out_dir, _META))
+
+
+def append_vec_index(df: DataFrame, out_dir: str,
+                     shuffle_partitions: int = 32) -> None:
+    """Maintenance: index a NEW batch of vectors into an existing
+    sidecar without rebuilding.  The assignment is a pure function of
+    the vector under the frozen meta (planes/seed/centroids never
+    change post-build — the faiss IVF add() contract), so appended
+    parquet files land inside the exact ``bucket=``/``list=``
+    directories a probe already reads: queries see the new vectors
+    with no rebuild and no reader change."""
+    with open(os.path.join(out_dir, _META)) as f:
+        meta = json.load(f)
+    rows, parts = _assignment_rows(df, meta)
+    _write_rows(rows, parts, out_dir, shuffle_partitions, "append")
+
+
+def compact_vec_index(spark: SparkSession, out_dir: str,
+                      deleted_ids: DataFrame,
+                      shuffle_partitions: int = 32) -> None:
+    """Maintenance: physically drop deleted vectors (the analogue of
+    the postings merge applying deletion lists, index/merge.py).  One
+    anti-join rewrite of the vectors table; meta is unchanged."""
+    with open(os.path.join(out_dir, _META)) as f:
+        meta = json.load(f)
+    vec = os.path.join(out_dir, "vectors")
+    # no explicit broadcast hint: AQE broadcasts small delete batches
+    # itself, and a web-scale delete batch must be allowed to shuffle
+    live = (spark.read.parquet(vec)
+            .join(deleted_ids.select(meta["id_col"]),
+                  meta["id_col"], "left_anti"))
+    parts = (["tbl", "bucket"] if meta["kind"] == "hyperplane"
+             else ["bucket"] if meta["kind"] == "lsh" else ["list"])
+    tmp = vec + ".compact"
+    (live.repartition(shuffle_partitions, *[F.col(p) for p in parts])
+     .write.mode("overwrite").partitionBy(*parts).parquet(tmp))
+    import shutil
+    old = vec + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(vec, old)
+    os.replace(tmp, vec)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 class VecIndex:

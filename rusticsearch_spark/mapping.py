@@ -53,6 +53,10 @@ class FieldMapping:
     store: bool = False
     include_in_all: bool = True
     is_indexed: bool = True               # index: "no" ⇒ False (mod.rs:87)
+    #: set on subfields of an ES ``nested``-TYPE mapping: the array
+    #: path whose elements index as child documents (prepare_docs
+    #: explodes them; the engine's `nested` query joins them back)
+    nested_path: Optional[str] = None
 
     @property
     def is_analyzed(self) -> bool:
@@ -93,10 +97,27 @@ def parse_mapping(mapping_json: dict,
                 "objects via 'properties' instead")
         name = _prefix + short
         if spec.get("type") == "nested":
-            raise MappingParseError(
-                f"field {name!r}: ES 'nested' type (independent "
-                "array-element matching) is not supported; use an "
-                "object mapping (dotted subfields) instead")
+            # ES nested TYPE: array elements become child documents
+            # with independent matching (the feature the reference's
+            # document.rs:87-89 TODO stops short of).  One level only.
+            if _prefix:
+                raise MappingParseError(
+                    f"field {name!r}: nested-in-object / nested-in-"
+                    "nested mappings are not supported")
+            if "properties" not in spec or not spec["properties"]:
+                raise MappingParseError(
+                    f"field {name!r}: nested type needs 'properties'")
+            subs = parse_mapping(spec, default_analyzer,
+                                 _prefix=name + ".")
+            for s in subs:
+                s.nested_path = name
+                # nested text stays out of the parent's _all (child
+                # docs are separate rows; joining them into the
+                # parent _all would cross the element boundary the
+                # type exists to preserve)
+                s.include_in_all = False
+            out.extend(subs)
+            continue
         if "properties" in spec:
             if spec.get("type") not in (None, "object"):
                 raise MappingParseError(
@@ -158,9 +179,15 @@ def mapping_to_config(fields: List[FieldMapping], key_col: str,
     if with_all and any(f.include_in_all for f in fields):
         cfg_fields["_all"] = "standard"
     stored = [f.name for f in fields if f.store]
+    nested_paths = sorted({f.nested_path for f in fields
+                           if f.nested_path})
+    if nested_paths:
+        # child→parent mapping column, stored (never indexed)
+        stored = stored + ["_nested_parent"]
     return IndexConfig(key_col=key_col, fields=cfg_fields,
                        field_types=field_types,
                        search_analyzers=search_analyzers, stored=stored,
+                       nested_paths=nested_paths,
                        analysis_settings=analysis_settings, **kwargs)
 
 
@@ -176,7 +203,8 @@ def canonical_date_col(col) -> "F.Column":
 
 
 def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
-                 with_all: bool = True) -> DataFrame:
+                 with_all: bool = True,
+                 key_col: Optional[str] = None) -> DataFrame:
     """Synthesize mapping-derived columns on the source DataFrame:
 
     * numerics/booleans/dates stringified the way the query layer
@@ -189,19 +217,49 @@ def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
       struct columns into TOP-LEVEL columns literally named with the
       dotted path; the root struct columns are dropped afterwards so
       every later by-name reference resolves unambiguously (via
-      ``layout.qname`` backtick quoting).
+      ``layout.qname`` backtick quoting);
+    * ES ``nested``-TYPE paths (array<struct> columns): each element
+      becomes a CHILD ROW — key ``<parent>#<path>#<pos>``, the
+      element's subfields as dotted columns, ``_nested_parent`` = the
+      parent key — unioned under the parent rows (requires
+      ``key_col``; keys are cast to string so child keys compose).
+      One distributed posexplode, no per-row Python.
     """
     from .index.layout import qname
+    nested_paths = sorted({f.nested_path for f in fields
+                           if f.nested_path})
+    if nested_paths and key_col is None:
+        raise MappingParseError(
+            "nested-type mappings require key_col at prepare_docs")
     out = docs
     roots = set()
     for f in fields:
-        if "." in f.name:
+        if "." in f.name and not f.nested_path:
             # struct-path navigation while the root struct is still
             # present; withColumn names the result LITERALLY
             out = out.withColumn(f.name, F.col(f.name))
             roots.add(f.name.split(".", 1)[0])
     for r in sorted(roots):
         out = out.drop(r)
+    if nested_paths:
+        out = out.withColumn(key_col, F.col(qname(key_col))
+                             .cast("string"))
+        children: List[DataFrame] = []
+        for path in nested_paths:
+            subs = [f for f in fields if f.nested_path == path]
+            kids = docs.select(
+                F.col(qname(key_col)).cast("string").alias("_pk"),
+                F.posexplode(F.col(path)).alias("_pos", "_el"))
+            children.append(kids.select(
+                F.concat(F.col("_pk"), F.lit(f"#{path}#"),
+                         F.col("_pos").cast("string")).alias(key_col),
+                F.col("_pk").alias("_nested_parent"),
+                *[F.col(f"_el.{s.name.split('.', 1)[1]}")
+                  .alias(s.name) for s in subs]))
+        out = out.drop(*nested_paths).withColumn(
+            "_nested_parent", F.lit(None).cast("string"))
+        for ch in children:
+            out = out.unionByName(ch, allowMissingColumns=True)
     for f in fields:
         c = F.col(qname(f.name))
         if f.type == "boolean":
@@ -215,5 +273,10 @@ def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
     if with_all and any(f.include_in_all for f in fields):
         parts = [F.coalesce(F.col(qname(f.name)), F.lit(""))
                  for f in fields if f.include_in_all]
-        out = out.withColumn("_all", F.concat_ws(" ", *parts))
+        all_col = F.concat_ws(" ", *parts)
+        if nested_paths:
+            # child rows carry no _all (they'd otherwise enter the
+            # _all field's doc/length statistics as empty docs)
+            all_col = F.when(F.col("_nested_parent").isNull(), all_col)
+        out = out.withColumn("_all", all_col)
     return out

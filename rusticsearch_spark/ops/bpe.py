@@ -31,8 +31,9 @@ simply the number of separators remaining.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,6 +96,66 @@ def train_bpe(text: str, n_merges: int = N_MERGES
     return merges
 
 
+def train_bpe_fast(word_freqs: Dict[str, int], n_merges: int
+                   ) -> List[Tuple[str, str]]:
+    """Incremental-count BPE trainer — identical output to
+    ``train_bpe`` (same tie-break: count desc, pair lexicographic
+    asc), but updates pair counts only for words containing the
+    merged pair instead of recounting the whole vocabulary per merge
+    (the standard subword-nmt optimization; public method).  Makes a
+    ≥10k-merge vocabulary trainable in seconds."""
+    words: List[List[str]] = []
+    freqs: List[int] = []
+    for w, f in word_freqs.items():
+        words.append(list(w))
+        freqs.append(f)
+    pair_counts: Dict[Tuple[str, str], int] = {}
+    pair_words: Dict[Tuple[str, str], set] = {}
+    for wi, sym in enumerate(words):
+        f = freqs[wi]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        best, best_c = None, 0
+        for p, c in pair_counts.items():
+            if c > best_c or (c == best_c and best is not None
+                              and p < best):
+                best, best_c = p, c
+        if best is None or best_c <= 0:
+            break
+        merges.append(best)
+        a, b = best
+        for wi in list(pair_words.get(best, ())):
+            sym = words[wi]
+            f = freqs[wi]
+            # remove this word's old pair contributions
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del pair_words[p]
+            out: List[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(wi)
+    return merges
+
+
 DEFAULT_MERGES: List[Tuple[str, str]] = train_bpe(SEED_TEXT)
 
 
@@ -112,6 +173,87 @@ def bpe_encode_py(word: str, merges: Sequence[Tuple[str, str]]
 def bpe_token_count_py(text: str,
                        merges: Sequence[Tuple[str, str]]) -> int:
     return sum(len(bpe_encode_py(w, merges)) for w in _words(text))
+
+
+class ChainIndex:
+    """Pruning index over a merge table for ``bpe_encode_fast``.
+
+    Exactness argument: the separator representation always carries
+    the word's characters in order (replaces only delete separators),
+    so rule (a, b) — pattern ``a~b`` — can match at ANY point of the
+    chain only if ``a+b`` occurs as a contiguous substring of the
+    original word.  Indexing rules by their ``a+b`` string lets the
+    encoder select the (few) candidate rules per word by substring
+    lookup and run ONLY those replaces, in rank order — byte-identical
+    to running the full chain (``bpe_encode_py``), including the
+    chain's prefix-match quirk (``c~o`` fusing into ``c~or``), at
+    O(|word|·maxlen) dict probes instead of O(n_merges) replaces."""
+
+    def __init__(self, merges: Sequence[Tuple[str, str]]):
+        self.by_ab: Dict[str, List[Tuple[int, str, str]]] = {}
+        for r, (a, b) in enumerate(merges):
+            self.by_ab.setdefault(a + b, []).append((r, a + SEP + b, a + b))
+        self.maxlen = max((len(ab) for ab in self.by_ab), default=2)
+
+
+def bpe_encode_fast(word: str, index: ChainIndex) -> List[str]:
+    """Replace-chain BPE encoder with candidate-rule pruning —
+    identical output to ``bpe_encode_py`` on ANY merge table (parity
+    pinned by tests/test_bpe_langid.py), but cost independent of the
+    vocabulary size: the scale path for real 10k+ vocabularies."""
+    by_ab, maxlen = index.by_ab, index.maxlen
+    L = len(word)
+    cands: List[Tuple[int, str, str]] = []
+    seen = set()
+    for i in range(L - 1):
+        top = min(L, i + maxlen)
+        for j in range(i + 2, top + 1):
+            sub = word[i:j]
+            if sub not in seen:
+                seen.add(sub)
+                rules = by_ab.get(sub)
+                if rules:
+                    cands.extend(rules)
+    rep = "".join(c + SEP for c in word)
+    if cands:
+        cands.sort()
+        for _, pat, repl in cands:
+            rep = rep.replace(pat, repl)
+    return [t for t in rep.split(SEP) if t]
+
+
+def bpe_token_count_udf_col(text_col: str,
+                            merges: Sequence[Tuple[str, str]]) -> Column:
+    """Total BPE token count via ONE Arrow-batched pandas UDF carrying
+    the ChainIndex in its closure (~hundreds of KB at 10k merges
+    — shipped once per task, reused across batches by worker reuse).
+    A per-worker word→count cache exploits the Zipfian repetition of
+    web text: each distinct word is encoded once per worker process.
+    This is the scale path for REAL vocabularies (10k–50k merges),
+    where the replace-chain form would build a 10k-deep Catalyst
+    expression tree; the replace-chain stays as the ≤~100-merge
+    oracle-checkable mode."""
+    from pyspark.sql import types as T
+
+    index = ChainIndex(merges)
+    word_re = re.compile(TOKEN_RE)
+    cache: Dict[str, int] = {}
+
+    @F.pandas_udf(T.LongType())
+    def _count(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = 0
+            if t:
+                for w in word_re.findall(t.lower()):
+                    c = cache.get(w)
+                    if c is None:
+                        c = cache[w] = len(bpe_encode_fast(w, index))
+                    n += c
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    return _count(F.col(text_col))
 
 
 def _rep_chain_col(word: Column,
@@ -142,14 +284,60 @@ def bpe_token_count_col(text_col: str,
                        lambda acc, v: acc + v).cast("long")
 
 
+#: Above this merge count the replace-chain expression form is
+#: refused (a 10k-merge table would build a 10k-deep Catalyst tree)
+#: and the Arrow-batched UDF path runs instead.
+REPLACE_CHAIN_MAX = 128
+
+
 def token_count_bpe(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    merges: Sequence[Tuple[str, str]] = None
-                    ) -> DataFrame:
-    """(id, n_bpe) per document — linear scan, codegen-only."""
-    return df.select(
-        F.col(id_col),
-        bpe_token_count_col(text_col, merges).alias("n_bpe"))
+                    merges: Sequence[Tuple[str, str]] = None,
+                    mode: str = "auto") -> DataFrame:
+    """(id, n_bpe) per document — one linear scan.
+
+    ``mode``: "expr" = replace-chain native SQL (codegen-only,
+    oracle-expressible, ≤ REPLACE_CHAIN_MAX merges); "udf" = the
+    Arrow-batched fast encoder (real 10k+ vocabularies); "auto"
+    picks by vocabulary size."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    if mode == "auto":
+        mode = "expr" if len(merges) <= REPLACE_CHAIN_MAX else "udf"
+    if mode == "expr":
+        if len(merges) > REPLACE_CHAIN_MAX:
+            raise ValueError(
+                f"replace-chain mode caps at {REPLACE_CHAIN_MAX} merges "
+                f"(got {len(merges)}); use mode='udf'")
+        col = bpe_token_count_col(text_col, merges)
+    elif mode == "udf":
+        col = bpe_token_count_udf_col(text_col, merges)
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    return df.select(F.col(id_col), col.alias("n_bpe"))
+
+
+_MERGES_10K_PATH = __file__.replace("bpe.py", "bpe_merges_10k.txt")
+_MERGES_10K: Optional[List[Tuple[str, str]]] = None
+
+
+def load_merges_10k() -> List[Tuple[str, str]]:
+    """The shipped 10,240-merge vocabulary, trained deterministically
+    on the driver-generated documents corpus by
+    scripts/train_bpe_vocab.py (provenance in the file header).  Two
+    symbols per line, space-separated — the public merges.txt shape,
+    so any real public vocabulary (e.g. GPT-2's merges, lowercased
+    alnum subset) drops in the same way."""
+    global _MERGES_10K
+    if _MERGES_10K is None:
+        out: List[Tuple[str, str]] = []
+        with open(_MERGES_10K_PATH) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                a, b = line.rstrip("\n").split(" ", 1)
+                out.append((a, b))
+        _MERGES_10K = out
+    return _MERGES_10K
 
 
 def bpe_token_count_sql(merges: Sequence[Tuple[str, str]] = None,

@@ -46,10 +46,62 @@ FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def parse_image_dims(p: bytes):
+    """(width, height) from the image HEADER alone — PNG / BMP / GIF
+    fixed offsets, JPEG SOF-marker scan (all public container
+    formats).  This is a real metadata decode needing no codec
+    library, so width/height are honest even in codec-less
+    containers; full pixel decode still requires Pillow.  Returns
+    None when the payload is not a recognized image."""
+    if not p:
+        return None
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+        return (int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"))
+    if p[:2] == b"BM" and len(p) >= 26:
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = int.from_bytes(p[22:26], "little", signed=True)
+        return abs(w), abs(h)
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        return (int.from_bytes(p[6:8], "little"),
+                int.from_bytes(p[8:10], "little"))
+    if p[:2] == b"\xff\xd8":                      # JPEG: find SOFn
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                break
+            marker = p[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seglen = int.from_bytes(p[i + 2:i + 4], "big")
+            if (0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)):
+                return (int.from_bytes(p[i + 7:i + 9], "big"),
+                        int.from_bytes(p[i + 5:i + 7], "big"))
+            i += 2 + seglen
+    return None
+
+
+def synth_bmp(width: int, height: int) -> bytes:
+    """Minimal valid 24-bit BMP (zeroed pixels) — the deterministic
+    synthetic image used by tests and the driver row (no image
+    assets ship in this environment)."""
+    import struct
+    row = ((width * 3 + 3) // 4) * 4
+    data = row * height
+    return (b"BM" + struct.pack("<IHHI", 54 + data, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                          0, data, 2835, 2835, 0, 0)
+            + bytes(data))
+
+
 def decode_media_real(payload: bytes, media_type: str):
-    """Real decode: Pillow for images (width/height/n_frames).  Audio/
-    video hooks (torchaudio / PyAV) follow the same contract when
-    those libs are present.  Raises when no codec is available."""
+    """Real decode: Pillow for images when importable
+    (width/height/n_frames from the full decoder), else the built-in
+    header parser (real width/height, n_frames=1).  Audio/video hooks
+    (torchaudio / PyAV) follow the same contract when those libs are
+    present.  Raises when neither path can read the payload."""
     if media_type == "image" and _PILImage is not None:
         from io import BytesIO
         with _PILImage.open(BytesIO(payload or b"")) as im:
@@ -57,6 +109,12 @@ def decode_media_real(payload: bytes, media_type: str):
                     hashlib.sha256(payload or b"").hexdigest(),
                     int(im.width), int(im.height),
                     int(getattr(im, "n_frames", 1)))
+    if media_type == "image":
+        dims = parse_image_dims(payload or b"")
+        if dims is not None:
+            return (len(payload or b""),
+                    hashlib.sha256(payload or b"").hexdigest(),
+                    int(dims[0]), int(dims[1]), 1)
     raise NotImplementedError(
         "no codec for media_type=%r in this environment; "
         "decode_media() provides the deterministic stub" % (media_type,))
@@ -83,8 +141,6 @@ def decode_media(df: DataFrame, mode: str = "auto") -> DataFrame:
     """
     if mode not in ("auto", "stub", "real"):
         raise ValueError(mode)
-    if mode == "auto" and not HAVE_PIL:
-        mode = "stub"          # no codec probe hit: skip per-row tries
 
     def _one(mid, mtype, payload):
         if mode != "stub":

@@ -133,8 +133,24 @@ class Exclude:
     exclude: "Query"  # score-less
 
 
+@dataclass(frozen=True)
+class Nested:
+    """ES ``nested`` TYPE query: the inner query must match within a
+    SINGLE array element of ``path`` (child document), not across
+    elements — the semantics the reference's document.rs:87-89 TODO
+    stops short of and ES implements via Lucene block-join.  Here
+    array elements index as child documents carrying their parent's
+    key (mapping.prepare_docs), and the engine joins matched children
+    back to parents, combining child scores per ``score_mode``
+    (ES default avg; none = filter-only, score 0)."""
+    path: str
+    query: "Query"
+    score_mode: str = "avg"       # avg | sum | max | none
+
+
 Query = Union[All, NoneQuery, Term, Prefix, Wildcard, Regexp, Fuzzy,
-              Conjunction, Disjunction, DisjunctionMax, Filter, Exclude]
+              Conjunction, Disjunction, DisjunctionMax, Filter, Exclude,
+              Nested]
 
 
 def boost(q: Query, factor: float) -> Query:
@@ -157,6 +173,8 @@ def boost(q: Query, factor: float) -> Query:
         return Filter(boost(q.query, factor), q.filter)
     if isinstance(q, Exclude):
         return Exclude(boost(q.query, factor), q.exclude)
+    if isinstance(q, Nested):
+        return Nested(q.path, boost(q.query, factor), q.score_mode)
     raise TypeError(type(q))
 
 
@@ -182,6 +200,10 @@ class ParseContext:
     #: FieldSearchOptions → match_query.rs:36-44): e.g. an edge-ngram
     #: INDEX analyzer paired with a plain SEARCH analyzer
     search_analyzers: dict = field(default_factory=dict)
+    #: declared ES `nested`-type paths; a `nested` query's path must
+    #: be one of these (its subfields appear in `fields` as dotted
+    #: names like ordinary object fields)
+    nested_paths: tuple = ()
 
     def analyze(self, fname: str, text: str) -> List[str]:
         analyzer_name = self.search_analyzers.get(
@@ -208,7 +230,8 @@ class ParseContext:
 
     def no_score(self) -> "ParseContext":
         return ParseContext(self.fields, self.analyzers, False,
-                            self.field_types, self.search_analyzers)
+                            self.field_types, self.search_analyzers,
+                            self.nested_paths)
 
 
 def _as_string(v) -> str:
@@ -442,8 +465,29 @@ def _parse_constant_score(body: dict, ctx: ParseContext) -> Query:
     return Filter(All(boost_v), parse(body["filter"], ctx.no_score()))
 
 
+def _parse_nested(body: dict, ctx: ParseContext) -> Query:
+    """ES nested query: {"nested": {"path": p, "query": q,
+    "score_mode": m}}.  Only declared nested-type paths are legal;
+    the inner query parses in the same context (its fields are the
+    dotted subfield names)."""
+    if not isinstance(body, dict) or "path" not in body \
+            or "query" not in body:
+        raise QueryParseError("nested needs 'path' and 'query'")
+    path = body["path"]
+    if path not in ctx.nested_paths:
+        raise QueryParseError(
+            f"unknown nested path: {path!r} (declared: "
+            f"{sorted(ctx.nested_paths)})")
+    mode = body.get("score_mode", "avg")
+    if mode not in ("avg", "sum", "max", "none"):
+        raise QueryParseError(f"bad score_mode: {mode!r}")
+    inner_ctx = ctx if mode != "none" else ctx.no_score()
+    return Nested(path, parse(body["query"], inner_ctx), mode)
+
+
 _PARSERS = {
     "match": _parse_match,
+    "nested": _parse_nested,
     "multi_match": _parse_multi_match,
     "match_all": _parse_match_all,
     "match_none": _parse_match_none,

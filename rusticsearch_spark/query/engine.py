@@ -34,7 +34,7 @@ differ from the reference by f32-accumulation order at ~1e-7 relative
 from __future__ import annotations
 
 import math
-from typing import Iterator, List, Optional, Tuple, Union
+from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
 import pandas as pd
@@ -229,11 +229,13 @@ class SearchEngine:
     PRUNE_MIN_POSTINGS = 100_000
 
     #: "auto" serving mode switches to the driver-local searcher when
-    #: the committed postings artifact is at most this many bytes on
-    #: disk — compressed postings several times this size still fit
-    #: driver memory decoded, but latency parity with a Spark job is
-    #: already lost well above it.  At web scale a serving tier runs
-    #: one LocalSearcher per tbucket shard instead (query/local.py).
+    #: the LARGEST PER-SHARD postings artifact (one build job = one
+    #: document shard) is at most this many bytes on disk —
+    #: compressed postings several times this size still fit driver
+    #: memory decoded, but latency parity with a Spark job is already
+    #: lost well above it.  At web scale each shard's LocalSearcher
+    #: runs in its own serving process (query/local.ShardedSearcher
+    #: is the same math in one process).
     LOCAL_MAX_BYTES = 256 << 20
 
     def __init__(self, spark: SparkSession, index_dir: str,
@@ -317,13 +319,31 @@ class SearchEngine:
         # serving-mode selection (the reference's single-node searcher
         # split: executors build the artifact, a driver/serving tier
         # answers queries — search_api.rs)
-        if mode not in ("spark", "local", "auto"):
-            raise ValueError(f"mode must be spark|local|auto: {mode!r}")
+        if mode not in ("spark", "local", "sharded", "auto"):
+            raise ValueError(
+                f"mode must be spark|local|sharded|auto: {mode!r}")
+        if mode != "spark" and self.config.nested_paths:
+            # the driver-side searcher has no nested-query evaluator
+            # and would count child rows in match_all
+            if mode == "auto":
+                mode = "spark"
+            else:
+                raise ValueError(
+                    "nested-type indexes serve in mode='spark' only")
         if mode == "auto":
-            mode = ("local"
-                    if self._postings_bytes() <= self.LOCAL_MAX_BYTES
-                    else "spark")
-        if mode == "local" and precision != "f32":
+            # per-SHARD bytes decide, not whole-index bytes: the
+            # serving tier scales out by document shard (one build
+            # job per LocalSearcher, query/local.ShardedSearcher), so
+            # the driver-tier cutoff is the largest shard's artifact.
+            per_job = self._postings_bytes_per_job()
+            total = sum(per_job.values())
+            if total <= self.LOCAL_MAX_BYTES:
+                mode = "local"
+            elif per_job and max(per_job.values()) <= self.LOCAL_MAX_BYTES:
+                mode = "sharded"
+            else:
+                mode = "spark"
+        if mode in ("local", "sharded") and precision != "f32":
             raise ValueError("mode='local' serves exact f32 scores; "
                              "use precision='f32' or mode='spark'")
         self.mode = mode
@@ -331,20 +351,39 @@ class SearchEngine:
         if mode == "local":
             from .local import LocalSearcher
             self._local = LocalSearcher(index_dir)
+        elif mode == "sharded":
+            from .local import ShardedSearcher
+            self._local = ShardedSearcher(index_dir)
 
     def _postings_bytes(self) -> int:
+        return sum(self._postings_bytes_per_job().values())
+
+    def _postings_bytes_per_job(self) -> Dict[str, int]:
         import os as _os
-        total = 0
+        out: Dict[str, int] = {}
         for d in self.layout.committed_dirs("postings"):
+            total = 0
             for root, _, files in _os.walk(d):
                 total += sum(_os.path.getsize(_os.path.join(root, f))
                              for f in files)
-        return total
+            out[d] = total
+        return out
 
     def _live(self, frame: DataFrame) -> DataFrame:
         if self.deletions is None:
             return frame
         return frame.join(self.deletions, "doc_id", "left_anti")
+
+    def _universe(self) -> DataFrame:
+        """All PARENT doc ids.  For nested-type indexes the docs
+        table also holds child rows (one per array element, tagged
+        with `_nested_parent`); they are internal — invisible to
+        match_all / negation / count, exactly as ES hides Lucene
+        block-join child docs."""
+        if self.config.nested_paths:
+            return self.docs.where(
+                F.col("_nested_parent").isNull()).select("doc_id")
+        return self.docs.select("doc_id")
 
     # ---------------------------------------------------------------
     # public API (the reference's _search/_count semantics)
@@ -354,7 +393,9 @@ class SearchEngine:
                                analyzers=self.registry,
                                field_types=dict(self.config.field_types),
                                search_analyzers=dict(
-                                   self.config.search_analyzers))
+                                   self.config.search_analyzers),
+                               nested_paths=tuple(
+                                   self.config.nested_paths))
         return dsl.parse(query_json, ctx)
 
     def search(self, query_json: dict, size: int = 10, from_: int = 0,
@@ -424,7 +465,7 @@ class SearchEngine:
         if self._local is not None:
             return self._local.count(query_json)
         if query_json is None:
-            return self._live(self.docs.select("doc_id")).count()
+            return self._live(self._universe()).count()
         q = self.parse(query_json)
         if isinstance(q, dsl.Term) and self.deletions is None:
             if self.dict_reader is not None:
@@ -438,7 +479,7 @@ class SearchEngine:
         if isinstance(ds, str):
             if ds == NONE:
                 return 0
-            return self._live(self.docs.select("doc_id")).count()
+            return self._live(self._universe()).count()
         return self._live(ds).count()
 
     # ---------------------------------------------------------------
@@ -925,8 +966,16 @@ class SearchEngine:
             if hint:
                 pred = pred & F.col("term").startswith(hint)
         if self.dict_reader is not None:
-            n, terms, tbs = self.dict_reader.selector_stats(
-                q.field, match_fn, hint)
+            if hint:
+                # anchored: range-pruned driver-side dictionary slice
+                n, terms, tbs = self.dict_reader.selector_stats(
+                    q.field, match_fn, hint)
+            else:
+                # unanchored: the predicate runs as a Spark filter
+                # over the term_dict sidecar — the driver receives
+                # only MATCHED terms, never the full dictionary
+                n, terms, tbs = self.dict_reader.selector_stats_spark(
+                    self.spark, q.field, pred)
             if not n or not terms:
                 return self.spark.createDataFrame([], schema=_SCORE_SCHEMA)
             blocks = self.postings.where(
@@ -940,6 +989,39 @@ class SearchEngine:
             F.countDistinct("term").alias("_nt"))
         return self._multiterm_avg(blocks, q.field, q.scorer,
                                    None, nt, needs_score)
+
+    def _score_nested(self, q: dsl.Nested,
+                      needs_score: bool = True) -> DataFrame:
+        """ES nested query: evaluate the inner query over CHILD rows
+        (their postings are ordinary per-child-doc postings, so "all
+        inner conditions inside one array element" is exactly "inner
+        query matches one child doc"), then join matched children to
+        their parents through the stored `_nested_parent` key and
+        combine per score_mode.  Lucene/ES do this with block-join on
+        adjacent doc ids; the Spark-native equivalent is a key join —
+        at scale both sides hash-partition on the (narrow) parent
+        key, and the parent side is the docs table's two-column
+        projection, not the corpus."""
+        from ..index.layout import qname
+        if q.path not in self.config.nested_paths:
+            raise dsl.QueryParseError(f"unknown nested path: {q.path!r}")
+        child = self._live(self._materialize(self._score(q.query)))
+        pmap = (self.docs.where(F.col("_nested_parent").isNotNull())
+                .select("doc_id", "_nested_parent"))
+        matched = child.join(pmap, "doc_id")
+        if not needs_score or q.score_mode == "none":
+            scored = (matched.select("_nested_parent").distinct()
+                      .withColumn("score", F.lit(0.0)))
+        else:
+            aggf = {"avg": F.avg, "sum": F.sum, "max": F.max}[q.score_mode]
+            scored = (matched.groupBy("_nested_parent")
+                      .agg(aggf("score").alias("score")))
+        parents = (self.docs.where(F.col("_nested_parent").isNull())
+                   .select(F.col(qname(self.config.key_col))
+                           .cast("string").alias("_nested_parent"),
+                           "doc_id"))
+        return scored.join(parents, "_nested_parent") \
+            .select("doc_id", "score")
 
     # ---------------------------------------------------------------
     # boolean docsets (scoring elided — the reference's no_score path)
@@ -958,6 +1040,9 @@ class SearchEngine:
         if isinstance(q, (dsl.Wildcard, dsl.Regexp, dsl.Fuzzy)):
             return self._score_selector(q, needs_score=False) \
                 .select("doc_id").distinct()
+        if isinstance(q, dsl.Nested):
+            return self._score_nested(q, needs_score=False) \
+                .select("doc_id")
         if isinstance(q, dsl.Conjunction):
             if self._fusable(q.queries):
                 fused = self._fused_frame(q.queries)
@@ -1017,7 +1102,7 @@ class SearchEngine:
         if a == ALL:
             # root-negation fallback: universe minus matches
             # (rocksdb/search/mod.rs:64-74)
-            return self.docs.select("doc_id").join(b, "doc_id", "left_anti")
+            return self._universe().join(b, "doc_id", "left_anti")
         return a.join(b, "doc_id", "left_anti")
 
     # ---------------------------------------------------------------
@@ -1040,6 +1125,8 @@ class SearchEngine:
             return self._combine(q.queries, mode="or")
         if isinstance(q, dsl.DisjunctionMax):
             return self._combine(q.queries, mode="max")
+        if isinstance(q, dsl.Nested):
+            return ("df", self._score_nested(q))
         if isinstance(q, dsl.Filter):
             fused = self._fused_filter(q.query, q.filter, anti=False)
             if fused is not None:
@@ -1129,7 +1216,7 @@ class SearchEngine:
         if fset == ALL:
             return ("none", None)
         if kind == "all":
-            frame = self.docs.select("doc_id") \
+            frame = self._universe() \
                 .join(fset, "doc_id", "left_anti") \
                 .withColumn("score", F.lit(float(val)))
             return ("df", frame)
@@ -1255,7 +1342,7 @@ class SearchEngine:
                      / F.lit(float(n)))
             frame = merged.select("doc_id", score.alias("score"))
             if consts:   # an All child ⇒ every doc matches
-                rest = (self.docs.select("doc_id")
+                rest = (self._universe()
                         .join(merged.select("doc_id"), "doc_id", "left_anti")
                         .withColumn("score",
                                     F.lit(float(sum(consts)) / float(n))))
@@ -1275,7 +1362,7 @@ class SearchEngine:
             merged = merged.select(
                 "doc_id", F.greatest(F.col("score"),
                                      F.lit(float(cmax))).alias("score"))
-            rest = (self.docs.select("doc_id")
+            rest = (self._universe()
                     .join(merged.select("doc_id"), "doc_id", "left_anti")
                     .withColumn("score", F.lit(float(cmax))))
             merged = merged.unionByName(rest)
@@ -1295,5 +1382,5 @@ class SearchEngine:
             return val
         if kind == "none":
             return self.spark.createDataFrame([], schema=_SCORE_SCHEMA)
-        return self.docs.select("doc_id") \
+        return self._universe() \
             .withColumn("score", F.lit(float(val)))

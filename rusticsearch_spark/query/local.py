@@ -4,10 +4,12 @@ The build side is distributed (100 TB story, ``index.build``); the
 serving side of the reference is a single-node process answering in
 milliseconds (src/api/search_api.rs).  This mirrors that split the
 way production systems do: executors build the immutable posting
-artifact, a serving tier memory-maps *its shard* of it.  Here the
-shard is the whole (test-scale) index, loaded once from parquet via
-Arrow — at web scale one LocalSearcher instance would own one
-``tbucket`` directory.
+artifact, a serving tier loads *its shard* of it.  A LocalSearcher
+loads one shard (default: the whole test-scale index; ``jobs=``
+restricts it to a document shard); ``ShardedSearcher`` below is the
+scale-out shape — one LocalSearcher per build job (jobs own disjoint
+doc buckets, so any query tree evaluates exactly per shard), global
+top-k by merging per-shard top-k.
 
 Everything is numpy set-at-a-time over the decoded blocks, computing
 the exact f32 scores of ``similarity.py`` — the same rank-identity
@@ -34,9 +36,22 @@ Frame = Tuple[np.ndarray, np.ndarray]      # (doc_ids sorted-unique, scores)
 
 
 class LocalSearcher:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str,
+                 jobs: Optional[List[int]] = None,
+                 global_terms: Optional[List[str]] = None):
+        """``jobs`` restricts the searcher to a subset of committed
+        job directories — the document-sharding unit (jobs own
+        disjoint url-hash bucket ranges, so a per-job shard holds ALL
+        postings of its docs and every query evaluates exactly within
+        it).  ``global_terms`` injects the index-wide distinct term
+        list so the MultiTerm Avg divisor stays GLOBAL under
+        sharding (scores must not depend on the shard split —
+        ShardedSearcher passes it; rank identity is pinned by
+        tests/test_local_searcher.py)."""
+        import os
         layout = IndexLayout(index_dir)
         self.config: IndexConfig = layout.read_config()
+        self._global_terms = global_terms
         if self.config.analysis_settings:
             self.registry = parse_analysis_settings(
                 self.config.analysis_settings)
@@ -48,7 +63,19 @@ class LocalSearcher:
                          Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         # committed jobs only (same visibility rule as SearchEngine:
         # lineage-resolved dirs, never a job=* glob)
-        post_dirs = layout.committed_dirs("postings")
+        if jobs is not None:
+            committed = set(layout.completed_jobs_local())
+            wanted = sorted(set(jobs) & committed)
+
+            def _dirs(name: str) -> List[str]:
+                return [layout.job_dir(name, j) for j in wanted
+                        if os.path.isdir(layout.job_dir(name, j))]
+
+            post_dirs = _dirs("postings")
+            docs_dirs = _dirs("docs")
+        else:
+            post_dirs = layout.committed_dirs("postings")
+            docs_dirs = layout.committed_dirs("docs")
         tbl = pa.concat_tables([
             pq.read_table(d, columns=["field", "term", "segment",
                                       "doc_bytes", "tf_bytes",
@@ -92,7 +119,7 @@ class LocalSearcher:
         self.all_doc_ids = np.sort(np.concatenate([
             pq.read_table(d, columns=["doc_id"])
             .column("doc_id").to_numpy()
-            for d in layout.committed_dirs("docs")] or
+            for d in docs_dirs] or
             [np.empty(0, dtype=np.int64)]))
         ddirs = layout.deletion_dirs()
         self.deleted: Optional[np.ndarray] = None
@@ -188,8 +215,14 @@ class LocalSearcher:
             return _EMPTY
         # Avg divisor = matches in the GLOBAL term dictionary (all
         # fields; term_dictionary.rs:78-85) — out-of-field terms
-        # contribute 0 to every doc but still count
-        n_dict = len({t for _, t in self._post if match_fn(t)})
+        # contribute 0 to every doc but still count.  Under sharding
+        # the injected index-wide term list keeps the divisor global
+        # (a shard's local dictionary would make scores depend on the
+        # shard split).
+        if self._global_terms is not None:
+            n_dict = sum(1 for t in self._global_terms if match_fn(t))
+        else:
+            n_dict = len({t for _, t in self._post if match_fn(t)})
         frames = [self._term(f, t, scorer) for f, t in matched]
         ids, s = self._sum_frames(frames)
         return ids, s / float(n_dict)
@@ -304,3 +337,68 @@ class LocalSearcher:
             return _EMPTY
         return (self.all_doc_ids,
                 np.full(self.all_doc_ids.size, float(val)))
+
+
+def load_global_terms(index_dir: str) -> List[str]:
+    """Index-wide distinct term list (all fields) from the term_dict
+    sidecars — a narrow columnar read, small next to postings.  Falls
+    back to the postings term column for legacy indexes."""
+    layout = IndexLayout(index_dir)
+    dirs = layout.committed_dirs("term_dict")
+    name = "term"
+    if not dirs:
+        dirs = layout.committed_dirs("postings")
+    if not dirs:
+        return []
+    tbl = pa.concat_tables([pq.read_table(d, columns=[name])
+                            for d in dirs])
+    import pyarrow.compute as pc
+    return sorted(pc.unique(tbl.column(name)).to_pylist())
+
+
+class ShardedSearcher:
+    """The serving tier's scale-out shape: one LocalSearcher per
+    document shard, global top-k by merging per-shard top-k.
+
+    The shard unit is the build JOB — jobs own disjoint url-hash
+    bucket ranges, so a shard holds every posting of its documents
+    and evaluates ANY query tree exactly over them (term-partitioned
+    sharding would break conjunctions: no shard would hold both terms
+    of a doc).  Scores are shard-independent because every score
+    input is global — field_stats load index-wide in each shard and
+    the MultiTerm divisor comes from the injected index-wide
+    dictionary — so a doc's score is identical to the unsharded
+    searcher's and merging per-shard top-k (each with the same
+    (-score, doc_id) tie order) IS the global top-k.  Per-process
+    memory is bounded by the largest shard, not the index
+    (SearchEngine's "auto" cutoff uses per-shard bytes).
+
+    ``shards`` groups job ids per shard (default one shard per job);
+    in a real deployment each group would live in its own serving
+    process — here they share one process, which is the same math.
+    """
+
+    def __init__(self, index_dir: str,
+                 shards: Optional[List[List[int]]] = None):
+        layout = IndexLayout(index_dir)
+        jobs = layout.completed_jobs_local()
+        if shards is None:
+            shards = [[j] for j in jobs]
+        gterms = load_global_terms(index_dir)
+        self.shards = [LocalSearcher(index_dir, jobs=js,
+                                     global_terms=gterms)
+                       for js in shards]
+
+    def search(self, query_json: dict, size: int = 10,
+               from_: int = 0) -> List[Tuple[int, float]]:
+        k = from_ + size
+        # any doc in the global top-k is in its own shard's top-k
+        # under the same deterministic tie order
+        cand: List[Tuple[int, float]] = []
+        for s in self.shards:
+            cand.extend(s.search(query_json, size=k, from_=0))
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        return cand[from_:k]
+
+    def count(self, query_json: Optional[dict] = None) -> int:
+        return sum(s.count(query_json) for s in self.shards)

@@ -2,7 +2,15 @@
 
     python scripts/scale_exp.py <cpus> <variant> [replicate]
 
-Variants: base | precount0 | zstd
+Variants: base | precount0 | zstd | a free-form conf spec
+``k=v;k=v`` with keys
+    sh=<int>      spark.sql.shuffle.partitions + IndexConfig
+    aqe=<0|1>     spark.sql.adaptive.enabled
+    mpb=<str>     spark.sql.files.maxPartitionBytes (e.g. 32m)
+    arrow=<int>   spark.sql.execution.arrow.maxRecordsPerBatch
+    page=<str>    spark.buffer.pageSize
+    loc=<str>     spark.locality.wait (e.g. 0s)
+    precount=<0|1>
 Prints one JSON line with build seconds + docs/sec.
 """
 import json
@@ -19,19 +27,30 @@ REP = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def parse_spec(v: str) -> dict:
+    if "=" not in v:
+        return {}
+    return dict(kv.split("=", 1) for kv in v.split(";") if kv)
+
+
 def main():
     from pyspark.sql import SparkSession
+    spec = parse_spec(VARIANT)
+    shuffle = int(spec.get("sh", os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
     b = (SparkSession.builder.master(f"local[{CPUS}]")
          .appName(f"scale-exp-{CPUS}-{VARIANT}")
-         .config("spark.sql.shuffle.partitions",
-                 os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
-         .config("spark.sql.files.maxPartitionBytes", "8m")
+         .config("spark.sql.shuffle.partitions", str(shuffle))
+         .config("spark.sql.files.maxPartitionBytes", spec.get("mpb", "8m"))
          .config("spark.sql.files.openCostInBytes", "1m")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.buffer.pageSize", "1m")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                 spec.get("arrow", "32768"))
+         .config("spark.sql.adaptive.enabled",
+                 "true" if spec.get("aqe", "1") != "0" else "false")
+         .config("spark.buffer.pageSize", spec.get("page", "1m"))
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false"))
+    if "loc" in spec:
+        b = b.config("spark.locality.wait", spec["loc"])
     if VARIANT == "zstd":
         b = b.config("spark.io.compression.codec", "zstd")
     spark = b.getOrCreate()
@@ -53,9 +72,9 @@ def main():
     cfg = IndexConfig(key_col="url",
                       fields={"text": "standard", "lang": None},
                       n_buckets=64, tbuckets=4,
-                      shuffle_partitions=int(os.environ.get(
-                          "SPARK_GRAFT_SHUFFLE", "64")),
-                      precount=(VARIANT != "precount0"))
+                      shuffle_partitions=shuffle,
+                      precount=(spec.get("precount", "1") != "0"
+                                and VARIANT != "precount0"))
     t0 = time.monotonic()
     build_index(spark, docs, idx, cfg, jobs=1)
     sec = time.monotonic() - t0

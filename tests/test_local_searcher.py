@@ -52,6 +52,71 @@ def test_local_latency_single_digit_ms(local):
     assert per_query < 0.05, f"{per_query * 1e3:.1f}ms per query"
 
 
+@pytest.fixture(scope="module")
+def multijob_index(spark, webtext, tmp_path_factory):
+    """A 3-job index (disjoint bucket ranges) — the document-sharding
+    unit for ShardedSearcher."""
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+    path = str(tmp_path_factory.mktemp("sharded") / "idx")
+    build_index(spark, webtext, path,
+                IndexConfig(key_col="url",
+                            fields={"text": "standard", "lang": None},
+                            n_buckets=6, tbuckets=2,
+                            shuffle_partitions=4),
+                jobs=3)
+    return path
+
+
+def test_sharded_searcher_rank_identical(multijob_index):
+    """Per-shard top-k merge == unsharded searcher, for every query
+    class (incl. MultiTerm selectors, whose Avg divisor must stay
+    GLOBAL under sharding)."""
+    from rusticsearch_spark.query.local import ShardedSearcher
+    whole = LocalSearcher(multijob_index)
+    sharded = ShardedSearcher(multijob_index)
+    assert len(sharded.shards) == 3
+    extra = [("wildcard_lead", {"wildcard": {"text": "*ark"}}),
+             ("fuzzy", {"fuzzy": {"text": {"value": "part",
+                                           "fuzziness": 2}}}),
+             ("prefix", {"prefix": {"text": "s"}})]
+    for name, q in list(QUERIES) + extra:
+        a = whole.search(q, size=10)
+        b = sharded.search(q, size=10)
+        assert [x[0] for x in a] == [x[0] for x in b], name
+        np.testing.assert_allclose([x[1] for x in a], [x[1] for x in b],
+                                   rtol=0, atol=0, err_msg=name)
+        assert whole.count(q) == sharded.count(q), name
+    assert whole.count() == sharded.count()
+    # pagination through a shard boundary
+    q = {"match": {"text": "spark query"}}
+    full = whole.search(q, size=20)
+    assert sharded.search(q, size=5, from_=5) == full[5:10]
+
+
+def test_engine_auto_mode_picks_sharded(spark, multijob_index, monkeypatch):
+    """auto mode: whole index over the cutoff but every shard under
+    it → sharded serving, same results as spark mode."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.query.local import ShardedSearcher
+    probe = SearchEngine(spark, multijob_index, mode="spark")
+    per_job = probe._postings_bytes_per_job()
+    assert len(per_job) == 3
+    cutoff = max(per_job.values()) + 1          # shard fits, total won't
+    assert sum(per_job.values()) > cutoff
+    monkeypatch.setattr(SearchEngine, "LOCAL_MAX_BYTES", cutoff)
+    eng = SearchEngine(spark, multijob_index, mode="auto")
+    assert eng.mode == "sharded"
+    assert isinstance(eng._local, ShardedSearcher)
+    q = {"match": {"text": "table scan"}}
+    a = [(r.doc_id, round(r.score, 5)) for r in
+         eng.search(q, size=10).collect()]
+    b = [(r.doc_id, round(r.score, 5)) for r in
+         probe.search(q, size=10).collect()]
+    assert a == b and len(a) > 0
+    assert eng.count(q) == probe.count(q)
+
+
 def test_local_sees_deletions(spark, index_dir, tmp_path, oracle):
     import shutil
 

@@ -41,10 +41,17 @@ def test_parse_nested_object_mapping():
     assert by["author.name"].store
 
 
-def test_nested_type_rejected_and_bad_object_type():
-    with pytest.raises(MappingParseError, match="nested"):
-        parse_mapping({"properties": {
-            "a": {"type": "nested", "properties": {"b": {}}}}})
+def test_nested_type_parse_and_errors():
+    fields = parse_mapping({"properties": {
+        "a": {"type": "nested", "properties": {"b": {}}}}})
+    assert [f.name for f in fields] == ["a.b"]
+    assert fields[0].nested_path == "a"
+    assert not fields[0].include_in_all
+    with pytest.raises(MappingParseError, match="needs 'properties'"):
+        parse_mapping({"properties": {"a": {"type": "nested"}}})
+    with pytest.raises(MappingParseError, match="nested-in-object"):
+        parse_mapping({"properties": {"o": {"properties": {
+            "a": {"type": "nested", "properties": {"b": {}}}}}}})
     with pytest.raises(MappingParseError, match="object type"):
         parse_mapping({"properties": {
             "a": {"type": "string", "properties": {"b": {}}}}})
@@ -99,6 +106,105 @@ def test_nested_all_field_and_stored_read(nested_cluster):
     hits = c.search("docs", {"term": {"author.name": "bob"}},
                     size=5, fields=["author.name"])
     assert hits[0]["fields"]["author.name"] == ["bob"]
+
+
+# --- ES nested TYPE (independent per-array-element matching) ---------
+
+NESTED_MAPPING = {"properties": {
+    "text": {"type": "string"},
+    "comments": {"type": "nested", "properties": {
+        "author": {"type": "string", "index": "not_analyzed"},
+        "stars": {"type": "integer"},
+    }},
+}}
+
+
+@pytest.fixture(scope="module")
+def nested_type_cluster(spark, tmp_path_factory):
+    from rusticsearch_spark.cluster import Cluster
+    rows = [
+        # u1: alice gave 5 — matches (author=alice AND stars=5)
+        ("u1", "spark engine", [("alice", 5), ("bob", 1)]),
+        # u2: cross-element trap — alice gave 1, bob gave 5: an
+        # object mapping would false-match (alice AND 5)
+        ("u2", "table scan", [("alice", 1), ("bob", 5)]),
+        # u3: no comments at all
+        ("u3", "hash join", []),
+        ("u4", "sort merge", [("alice", 5)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text string, comments array<struct<"
+              "author:string, stars:long>>")
+    c = Cluster(spark, str(tmp_path_factory.mktemp("ntype") / "cl"))
+    c.create_index("docs", NESTED_MAPPING, key_col="url")
+    c.bulk("docs", df, key_col="url", n_buckets=4, tbuckets=2,
+           shuffle_partitions=4)
+    return c
+
+
+def _ids(cluster, q, **kw):
+    return {h["key"] for h in cluster.search("docs", q, **kw)}
+
+
+def test_nested_type_no_cross_element_match(nested_type_cluster):
+    """The semantics the type exists for: author=alice AND stars=5
+    must match only docs where ONE comment has both."""
+    q = {"nested": {"path": "comments", "query": {"and": [
+        {"term": {"comments.author": "alice"}},
+        {"term": {"comments.stars": 5}}]}}}
+    assert _ids(nested_type_cluster, q) == {"u1", "u4"}
+    eng = nested_type_cluster.engine("docs")
+    assert eng.count(q) == 2
+    # single-condition nested matches any element
+    q1 = {"nested": {"path": "comments",
+                     "query": {"term": {"comments.stars": 5}}}}
+    assert _ids(nested_type_cluster, q1) == {"u1", "u2", "u4"}
+
+
+def test_nested_type_universe_hides_children(nested_type_cluster):
+    """match_all / count / negation see PARENT docs only, never the
+    child rows the elements index as."""
+    eng = nested_type_cluster.engine("docs")
+    assert eng.count() == 4
+    assert eng.count({"match_all": {}}) == 4
+    assert _ids(nested_type_cluster, {"match_all": {}}, size=10) == \
+        {"u1", "u2", "u3", "u4"}
+    # not-nested: parents whose every comment misses the condition
+    q = {"not": {"nested": {"path": "comments", "query":
+                            {"term": {"comments.stars": 5}}}}}
+    assert _ids(nested_type_cluster, q) == {"u3"}
+
+
+def test_nested_score_modes(nested_type_cluster):
+    eng = nested_type_cluster.engine("docs")
+    q_inner = {"term": {"comments.author": "alice"}}
+    rows = {m: {r.doc_id: r.score for r in eng.search(
+        {"nested": {"path": "comments", "query": q_inner,
+                    "score_mode": m}}, size=10).collect()}
+        for m in ("avg", "sum", "max", "none")}
+    ids = set(rows["avg"])
+    assert set(rows["sum"]) == set(rows["max"]) == set(rows["none"]) == ids
+    assert len(ids) == 3                     # u1, u2, u4
+    # one matching child each → avg == sum == max; none == 0
+    for d in ids:
+        assert rows["avg"][d] == rows["sum"][d] == rows["max"][d] > 0
+        assert rows["none"][d] == 0.0
+    # parse errors
+    from rusticsearch_spark.query import dsl
+    with pytest.raises(dsl.QueryParseError, match="unknown nested path"):
+        eng.parse({"nested": {"path": "zzz", "query": q_inner}})
+    with pytest.raises(dsl.QueryParseError, match="score_mode"):
+        eng.parse({"nested": {"path": "comments", "query": q_inner,
+                              "score_mode": "median"}})
+
+
+def test_nested_type_rejects_local_serving(spark, nested_type_cluster):
+    from rusticsearch_spark.query.engine import SearchEngine
+    idx = nested_type_cluster._dir("docs")
+    with pytest.raises(ValueError, match="spark"):
+        SearchEngine(spark, idx, mode="local")
+    eng = SearchEngine(spark, idx, mode="auto")
+    assert eng.mode == "spark"
 
 
 def test_prepare_docs_drops_root_struct(spark):

@@ -137,13 +137,10 @@ def test_multimodal_stub_pipeline(spark, webtext):
 
 
 def test_multimodal_real_decode_when_codec_present(spark):
-    """With Pillow importable the probe decodes real images: a 1×1 PNG
-    yields true dimensions and decoded=True.  Skipped in codec-less
-    containers — the plumbing is identical either way."""
-    from rusticsearch_spark.ops.multimodal import (HAVE_PIL, MEDIA_SCHEMA,
-                                                   decode_media)
-    if not HAVE_PIL:
-        pytest.skip("Pillow not available in this environment")
+    """A 1×1 PNG yields true dimensions and decoded=True in EVERY
+    container: Pillow when importable, else the built-in header
+    parser (a real metadata decode, not the stub)."""
+    from rusticsearch_spark.ops.multimodal import MEDIA_SCHEMA, decode_media
     import base64
     png_1x1 = base64.b64decode(
         b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
@@ -152,6 +149,47 @@ def test_multimodal_real_decode_when_codec_present(spark):
                                MEDIA_SCHEMA)
     row = decode_media(df).collect()[0]
     assert row.decoded and row.width == 1 and row.height == 1
+
+
+def test_image_header_parser_goldens():
+    """parse_image_dims reads true dims from PNG/BMP/GIF/JPEG headers
+    and returns None for non-images (stub fallback stays reachable)."""
+    import base64
+    from rusticsearch_spark.ops.multimodal import (parse_image_dims,
+                                                   synth_bmp)
+    png_1x1 = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        b"z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    assert parse_image_dims(png_1x1) == (1, 1)
+    assert parse_image_dims(synth_bmp(17, 9)) == (17, 9)
+    gif = (b"GIF89a" + (300).to_bytes(2, "little")
+           + (200).to_bytes(2, "little") + bytes(10))
+    assert parse_image_dims(gif) == (300, 200)
+    # minimal JPEG: SOI, APP0 (16 bytes), SOF0 with h=7 w=5
+    jpeg = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01"
+            b"\x00\x01\x00\x00"
+            b"\xff\xc0\x00\x11\x08" + (7).to_bytes(2, "big")
+            + (5).to_bytes(2, "big") + bytes(10))
+    assert parse_image_dims(jpeg) == (5, 7)
+    assert parse_image_dims(b"<html>not an image</html>") is None
+    assert parse_image_dims(b"") is None
+
+
+def test_multimodal_synth_bmp_dims_through_pipeline(spark):
+    """The driver row's shape: synthetic BMPs decode to their true
+    (width, height) with decoded=True; byte size matches the BMP
+    formula."""
+    from rusticsearch_spark.ops.multimodal import (MEDIA_SCHEMA,
+                                                   decode_media, synth_bmp)
+    rows = [(str(i), "image", bytearray(synth_bmp(1 + i % 16, 1 + i % 8)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {int(r.media_id): r for r in decode_media(df).collect()}
+    for i in range(40):
+        w, h = 1 + i % 16, 1 + i % 8
+        r = got[i]
+        assert r.decoded and (r.width, r.height) == (w, h)
+        assert r.n_bytes == 54 + h * ((w * 3 + 3) // 4 * 4)
 
 
 def test_hyperplane_lsh_and_multitable_recall(spark, emb):

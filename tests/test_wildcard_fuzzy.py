@@ -144,6 +144,65 @@ def test_regexp_dictionary_path_matches_legacy(engine):
     assert a == b and len(a) > 0
 
 
+def test_unanchored_wildcard_distributes_enumeration(engine):
+    """A leading-* wildcard must route through selector_stats_spark
+    (the distributed term_dict filter) — never the full-dictionary
+    driver scan — and the driver must receive only matched terms."""
+    calls = {}
+    bak_driver = type(engine.dict_reader).selector_stats
+    bak_spark = type(engine.dict_reader).selector_stats_spark
+
+    def spy_driver(self, *a, **k):
+        calls["driver"] = True
+        return bak_driver(self, *a, **k)
+
+    def spy_spark(self, *a, **k):
+        out = bak_spark(self, *a, **k)
+        calls["spark"] = out
+        return out
+
+    type(engine.dict_reader).selector_stats = spy_driver
+    type(engine.dict_reader).selector_stats_spark = spy_spark
+    try:
+        a = sorted((r.doc_id, round(r.score, 5)) for r in
+                   engine.search({"wildcard": {"text": "*ark"}},
+                                 size=500).collect())
+    finally:
+        type(engine.dict_reader).selector_stats = bak_driver
+        type(engine.dict_reader).selector_stats_spark = bak_spark
+    assert "driver" not in calls and "spark" in calls
+    n, terms, _ = calls["spark"]
+    # every collected term actually matches: enumeration was pushed
+    # down, the driver never saw a non-matching dictionary row
+    assert n == len(terms) > 0
+    assert all(t.endswith("ark") for t in terms)
+    bak = engine.dict_reader
+    engine.dict_reader = None
+    try:
+        b = sorted((r.doc_id, round(r.score, 5)) for r in
+                   engine.search({"wildcard": {"text": "*ark"}},
+                                 size=500).collect())
+    finally:
+        engine.dict_reader = bak
+    assert a == b and len(a) > 0
+
+
+def test_anchored_wildcard_keeps_driver_path(engine):
+    calls = {}
+    bak_spark = type(engine.dict_reader).selector_stats_spark
+
+    def spy_spark(self, *a, **k):
+        calls["spark"] = True
+        return bak_spark(self, *a, **k)
+
+    type(engine.dict_reader).selector_stats_spark = spy_spark
+    try:
+        assert engine.count({"wildcard": {"text": "s*a*"}}) > 0
+    finally:
+        type(engine.dict_reader).selector_stats_spark = bak_spark
+    assert "spark" not in calls
+
+
 def test_regexp_whole_term_anchoring(engine):
     """'merg' must NOT match 'merge' (whole-term semantics)."""
     assert engine.count({"regexp": {"text": "merg"}}) == 0
