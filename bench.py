@@ -52,21 +52,30 @@ def main() -> None:
     from rusticsearch_spark.query.engine import SearchEngine
     from rusticsearch_spark.synth.webtext import webtext_table
 
+    # Defaults = the round-5 same-session experiment winner
+    # (scripts/r5_matrix.py, BENCH/APPENDIX_r5_experiments.md):
+    # AQE OFF (its stage-by-stage driver re-planning is serialized
+    # per-stage cost — the measured Amdahl share), 32m read splits
+    # (fewer, larger scan tasks), coarse shuffle partitions
+    # (max(16, 2×cores): 16 was measured best at 2/8 cores; the
+    # floor keeps ≥2 waves per core at higher counts).  Every knob
+    # remains env-overridable.
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .appName(f"rusticsearch-bench-{CPUS}")
              .config("spark.sql.shuffle.partitions",
-                     os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
-             # bench-scale corpora are small; split reads finer than the
-             # 128MB default so all cores engage (a no-op at real scale)
+                     os.environ.get("SPARK_GRAFT_SHUFFLE",
+                                    str(max(16, 2 * CPUS))))
              .config("spark.sql.files.maxPartitionBytes",
-                     os.environ.get("SPARK_GRAFT_MAX_PART", "8m"))
+                     os.environ.get("SPARK_GRAFT_MAX_PART", "32m"))
              .config("spark.sql.files.openCostInBytes", "1m")
              # Fat Arrow batches for the mapInArrow encoder / decode
              # stages (the tokenizer pandas UDF that needed tiny
              # batches no longer runs on ASCII-safe web text)
              .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                      os.environ.get("SPARK_GRAFT_ARROW_BATCH", "32768"))
-             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.enabled",
+                     "true" if os.environ.get("SPARK_GRAFT_AQE",
+                                              "0") == "1" else "false")
              # small sort pages: Tungsten in-memory sort runs stay
              # cache-resident (a 24MB random-access sort scales at
              # 0.45x/core on shared-LLC hosts, a 2MB one at 0.93x —
@@ -104,7 +113,7 @@ def main() -> None:
                       tbuckets=int(os.environ.get(
                           "SPARK_GRAFT_TBUCKETS", "4")),
                       shuffle_partitions=int(os.environ.get(
-                          "SPARK_GRAFT_SHUFFLE", "64")))
+                          "SPARK_GRAFT_SHUFFLE", str(max(16, 2 * CPUS)))))
     t0 = time.monotonic()
     build_index(spark, docs, idx_dir, cfg, jobs=1)
     build_sec = time.monotonic() - t0

@@ -648,23 +648,32 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     # driver-side reader prunes parquet ROW GROUPS via term min/max
     # (hash repartition + per-file sort: row-group ranges stay tight
     # without repartitionByRange's sampling job, which would re-run
-    # the aggregate)
+    # the aggregate).  Per-field token totals + the block count (the
+    # fttok statistics) ride this SAME job as observe() metrics —
+    # write_job runs exactly four Spark jobs end to end.
+    tok_obs = Observation(f"build_tok_{job}")
     dict_src = spark.read.parquet(layout.job_dir("postings", job)) \
         .groupBy("field", "term", "tbucket") \
         .agg(F.sum("df_block").cast("long").alias("df"),
              F.count("*").cast("int").alias("n_blocks"),
              F.sum("sum_tf").cast("long").alias("sum_tf"))
+    tok_alias = {f: f"__ftok_{i}" for i, f in enumerate(config.fields)}
     (dict_src.repartition(max(1, shuffle_p // 4), "field", "term")
      .sortWithinPartitions("field", "term")
+     .observe(tok_obs, F.sum("n_blocks").alias("__n_blocks"),
+              *[F.sum(F.when(F.col("field") == f, F.col("sum_tf")))
+                .alias(a) for f, a in tok_alias.items()])
      .write.mode("overwrite").parquet(layout.job_dir("term_dict", job)))
+    tok_m = tok_obs.get
+    n_blocks = int(tok_m["__n_blocks"] or 0)
+    stats_rows = [{"field": f, "total_docs": doc_counts[f],
+                   "total_tokens": int(tok_m[a] or 0)}
+                  for f, a in tok_alias.items()]
     _trace("term_dict")
 
-    # field stats derive from the (tiny) dictionary — the postings
-    # metadata is scanned exactly once per job, by the dict agg above —
-    # plus the doc counts already observed on the docs-write job
-    stats_rows, n_blocks = _field_stats(
-        spark, None, layout.job_dir("term_dict", job), config,
-        doc_counts=doc_counts)
+    # field stats: both halves were observed on jobs that already ran
+    # (doc counts on the docs write, token totals on the term_dict
+    # write) — zero extra jobs, zero extra scans
     _write_field_stats(layout.job_dir("field_stats", job), stats_rows)
     _trace("field_stats")
 

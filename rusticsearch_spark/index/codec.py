@@ -87,6 +87,78 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varbyte_decode_concat(buf: np.ndarray, offsets: np.ndarray):
+    """Decode MANY concatenated varbyte streams in one vectorized pass.
+
+    ``buf`` is a uint8 array holding ``len(offsets) - 1`` varbyte
+    streams laid end to end; ``buf[offsets[i]:offsets[i+1]]`` is
+    stream ``i``.  Varbyte streams are self-delimiting (every value
+    ends at a continuation-bit-0 byte), so decoding the concatenation
+    equals concatenating the decodes — one pass replaces a Python
+    loop of per-block :func:`varbyte_decode` calls (the serving
+    tier's load path decodes every posting block of a shard at once).
+
+    Returns ``(values uint64, counts int64)`` where ``counts[i]`` is
+    the number of decoded values belonging to stream ``i``.
+    """
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_blocks = offsets.size - 1
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    if b.size == 0:
+        return (np.zeros(0, dtype=np.uint64),
+                np.zeros(n_blocks, dtype=np.int64))
+    is_last = (b & 0x80) == 0
+    cum_last = np.zeros(b.size + 1, dtype=np.int64)
+    np.cumsum(is_last, out=cum_last[1:])
+    counts = cum_last[offsets[1:]] - cum_last[offsets[:-1]]
+    n = int(cum_last[-1])
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = cum_last[1:-1]
+    starts = np.empty(b.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = is_last[:-1]
+    run_start = np.where(starts, np.arange(b.size), 0)
+    np.maximum.accumulate(run_start, out=run_start)
+    pos = (np.arange(b.size) - run_start).astype(np.uint64)
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(vals, group,
+              (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos))
+    return vals, counts
+
+
+def decode_blocks_concat(segments: np.ndarray,
+                         doc_buf: np.ndarray, doc_offsets: np.ndarray,
+                         tf_buf: np.ndarray, tf_offsets: np.ndarray,
+                         len_buf: np.ndarray, len_offsets: np.ndarray):
+    """Vectorized inverse of many :func:`encode_block` calls.
+
+    Inputs are the concatenated ``doc_bytes`` / ``tf_bytes`` /
+    ``len_bytes`` columns of a posting-block table (one entry per
+    block row, ``segments[i]`` the row's segment id).  Returns
+    ``(doc_ids int64, tfs int64, lens int64, counts int64)`` where
+    ``counts[i]`` postings belong to block ``i``, laid out in block
+    order — the segmented-cumsum delta reconstruction happens in one
+    numpy pass instead of per block.
+    """
+    deltas, counts = varbyte_decode_concat(doc_buf, doc_offsets)
+    tfs, _ = varbyte_decode_concat(tf_buf, tf_offsets)
+    # one raw byte per posting: len counts must agree with doc counts
+    lens = np.ascontiguousarray(len_buf, dtype=np.uint8).astype(np.int64)
+    # segmented cumsum: excl[i] = sum(deltas[:i]); local value i is
+    # excl[i + 1] - excl[block_start(i)]
+    excl = np.empty(deltas.size + 1, dtype=np.int64)
+    excl[0] = 0
+    np.cumsum(deltas.astype(np.int64), out=excl[1:])
+    block_starts = np.empty(counts.size + 1, dtype=np.int64)
+    block_starts[0] = 0
+    np.cumsum(counts, out=block_starts[1:])
+    local = excl[1:] - np.repeat(excl[block_starts[:-1]], counts)
+    seg_base = (np.ascontiguousarray(segments, dtype=np.int64)
+                << SEGMENT_BITS)
+    doc_ids = np.repeat(seg_base, counts) + local
+    return doc_ids, tfs.astype(np.int64), lens, counts
+
+
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, len_bytes: np.ndarray):
     """Encode one sorted (doc_id, tf, len_byte) run for a
     ``(field, term, segment)`` block.

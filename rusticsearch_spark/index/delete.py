@@ -57,6 +57,24 @@ def delete_documents(spark: SparkSession, index_dir: str,
         if resolved is None:
             return 0
         target = resolved.select("doc_id")
+        if config.nested_paths:
+            # cascade: a parent's child rows (nested-type array
+            # elements) die with it.  Resolved through the stored
+            # `_nested_parent` column — a two-column docs projection;
+            # deletes are rare and off the query hot path (the same
+            # cost class as the merge that later applies them).
+            docs_dirs = layout.committed_dirs("docs", spark)
+            if docs_dirs:
+                docs = (spark.read
+                        .option("basePath", layout.table("docs"))
+                        .parquet(*docs_dirs))
+                kids = (docs.where(F.col("_nested_parent").isNotNull())
+                        .join(keys_df.select(
+                            F.col(config.key_col)
+                            .alias("_nested_parent")),
+                            "_nested_parent", "left_semi")
+                        .select("doc_id"))
+                target = target.unionByName(kids)
     elif doc_ids is not None:
         target = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long")

@@ -38,20 +38,24 @@ Frame = Tuple[np.ndarray, np.ndarray]      # (doc_ids sorted-unique, scores)
 class LocalSearcher:
     def __init__(self, index_dir: str,
                  jobs: Optional[List[int]] = None,
-                 global_terms: Optional[List[str]] = None):
+                 global_terms: Optional[List[str]] = None,
+                 global_df: Optional[Dict[Tuple[str, str], int]] = None):
         """``jobs`` restricts the searcher to a subset of committed
         job directories — the document-sharding unit (jobs own
         disjoint url-hash bucket ranges, so a per-job shard holds ALL
         postings of its docs and every query evaluates exactly within
         it).  ``global_terms`` injects the index-wide distinct term
-        list so the MultiTerm Avg divisor stays GLOBAL under
-        sharding (scores must not depend on the shard split —
-        ShardedSearcher passes it; rank identity is pinned by
-        tests/test_local_searcher.py)."""
+        list (the MultiTerm Avg divisor) and ``global_df`` the
+        index-wide per-(field, term) document frequency (the idf
+        input): every score input must stay GLOBAL under sharding or
+        a doc's score would depend on the shard split.
+        ShardedSearcher passes both; rank identity is pinned by
+        tests/test_local_searcher.py."""
         import os
         layout = IndexLayout(index_dir)
         self.config: IndexConfig = layout.read_config()
         self._global_terms = global_terms
+        self._global_df = global_df
         if self.config.analysis_settings:
             self.registry = parse_analysis_settings(
                 self.config.analysis_settings)
@@ -176,10 +180,14 @@ class LocalSearcher:
             return _EMPTY
         ids, tfs, lens = post
         d, t = self.field_stats.get(field, (0, 0))
+        # df is GLOBAL (the idf input): under sharding the local
+        # posting length is only this shard's share
+        df = (self._global_df.get((field, term), len(ids))
+              if self._global_df is not None else len(ids))
         if scorer.similarity == dsl.TFIDF:
-            s = tfidf_f32(tfs, d, len(ids))
+            s = tfidf_f32(tfs, d, df)
         else:
-            s = bm25_f32(tfs, lengths_from_bytes(lens), t, d, len(ids))
+            s = bm25_f32(tfs, lengths_from_bytes(lens), t, d, df)
         s = (s * np.float32(scorer.boost)).astype(np.float64)
         return ids, s
 
@@ -339,21 +347,33 @@ class LocalSearcher:
                 np.full(self.all_doc_ids.size, float(val)))
 
 
-def load_global_terms(index_dir: str) -> List[str]:
-    """Index-wide distinct term list (all fields) from the term_dict
-    sidecars — a narrow columnar read, small next to postings.  Falls
-    back to the postings term column for legacy indexes."""
+def load_global_dict(index_dir: str
+                     ) -> Tuple[List[str], Dict[Tuple[str, str], int]]:
+    """(distinct terms across all fields, (field, term) → global df)
+    from the term_dict sidecars — a narrow columnar read, small next
+    to postings.  Falls back to the postings block metadata for
+    legacy indexes.  These are the two score inputs that must stay
+    index-wide when serving is document-sharded."""
     layout = IndexLayout(index_dir)
     dirs = layout.committed_dirs("term_dict")
-    name = "term"
+    df_col = "df"
     if not dirs:
         dirs = layout.committed_dirs("postings")
+        df_col = "df_block"
     if not dirs:
-        return []
-    tbl = pa.concat_tables([pq.read_table(d, columns=[name])
-                            for d in dirs])
-    import pyarrow.compute as pc
-    return sorted(pc.unique(tbl.column(name)).to_pylist())
+        return [], {}
+    tbl = pa.concat_tables([
+        pq.read_table(d, columns=["field", "term", df_col])
+        for d in dirs])
+    df_map: Dict[Tuple[str, str], int] = {}
+    terms = set()
+    for f, t, d in zip(tbl.column("field").to_pylist(),
+                       tbl.column("term").to_pylist(),
+                       tbl.column(df_col).to_pylist()):
+        terms.add(t)
+        k = (f, t)
+        df_map[k] = df_map.get(k, 0) + int(d)
+    return sorted(terms), df_map
 
 
 class ShardedSearcher:
@@ -384,9 +404,10 @@ class ShardedSearcher:
         jobs = layout.completed_jobs_local()
         if shards is None:
             shards = [[j] for j in jobs]
-        gterms = load_global_terms(index_dir)
+        gterms, gdf = load_global_dict(index_dir)
         self.shards = [LocalSearcher(index_dir, jobs=js,
-                                     global_terms=gterms)
+                                     global_terms=gterms,
+                                     global_df=gdf)
                        for js in shards]
 
     def search(self, query_json: dict, size: int = 10,

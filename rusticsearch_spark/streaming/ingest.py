@@ -48,6 +48,16 @@ class StreamingIngester:
         self.n_buckets_per_batch = n_buckets_per_batch
         self.dedup_keys = dedup_keys
         self.upsert = upsert
+        if upsert and self.config.nested_paths:
+            # an upsert whose new version has FEWER array elements
+            # would leave the removed elements' child rows live
+            # (their synthetic keys are absent from the batch, so the
+            # key-level delete never sees them) — refuse rather than
+            # silently corrupt; nested indexes update via
+            # delete-then-reindex
+            raise ValueError(
+                "streaming upsert is not supported for nested-type "
+                "indexes (stale child rows); delete + reindex instead")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         job = STREAM_JOB_BASE + int(batch_id)

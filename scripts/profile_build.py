@@ -25,13 +25,13 @@ SRC = sys.argv[2] if len(sys.argv) > 2 else \
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
 _builder = (SparkSession.builder.master(f"local[{CPUS}]")
          .config("spark.sql.shuffle.partitions", str(SHUFFLE))
-         .config("spark.sql.files.maxPartitionBytes", "8m")
+         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART", "32m"))
          .config("spark.sql.files.openCostInBytes", "1m")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
-         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.enabled", "true" if os.environ.get("SPARK_GRAFT_AQE", "0") == "1" else "false")
          .config("spark.buffer.pageSize", "1m")
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false"))
@@ -56,7 +56,7 @@ from rusticsearch_spark.index.codec import SEGMENT_BITS
 from rusticsearch_spark.index.layout import IndexConfig, term_bucket_col
 
 cfg = IndexConfig(key_col="url", fields={"text": "standard", "lang": None},
-                  n_buckets=64, tbuckets=4, shuffle_partitions=64)
+                  n_buckets=64, tbuckets=4, shuffle_partitions=SHUFFLE)
 reg = AnalyzerRegistry()
 out = os.environ.get("SPARK_GRAFT_PROFILE_OUT",
                      "/tmp") + f"/profile_idx_{CPUS}"

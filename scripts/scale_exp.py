@@ -36,16 +36,16 @@ def parse_spec(v: str) -> dict:
 def main():
     from pyspark.sql import SparkSession
     spec = parse_spec(VARIANT)
-    shuffle = int(spec.get("sh", os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
+    shuffle = int(spec.get("sh", os.environ.get("SPARK_GRAFT_SHUFFLE", "16")))
     b = (SparkSession.builder.master(f"local[{CPUS}]")
          .appName(f"scale-exp-{CPUS}-{VARIANT}")
          .config("spark.sql.shuffle.partitions", str(shuffle))
-         .config("spark.sql.files.maxPartitionBytes", spec.get("mpb", "8m"))
+         .config("spark.sql.files.maxPartitionBytes", spec.get("mpb", "32m"))
          .config("spark.sql.files.openCostInBytes", "1m")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                  spec.get("arrow", "32768"))
          .config("spark.sql.adaptive.enabled",
-                 "true" if spec.get("aqe", "1") != "0" else "false")
+                 "true" if spec.get("aqe", "0") == "1" else "false")
          .config("spark.buffer.pageSize", spec.get("page", "1m"))
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false"))

@@ -198,6 +198,30 @@ def test_nested_score_modes(nested_type_cluster):
                               "score_mode": "median"}})
 
 
+def test_nested_delete_cascades_to_children(spark, nested_type_cluster,
+                                            tmp_path):
+    """Deleting a parent also deletes its element child rows — a
+    later nested query must not resurrect the parent through a
+    surviving child."""
+    import shutil
+
+    from rusticsearch_spark.index.delete import delete_documents
+    from rusticsearch_spark.query.engine import SearchEngine
+    src = nested_type_cluster._dir("docs")
+    path = str(tmp_path / "cascade")
+    shutil.copytree(src, path)
+    q = {"nested": {"path": "comments",
+                    "query": {"term": {"comments.stars": 5}}}}
+    before = SearchEngine(spark, path)
+    assert {r.doc_id for r in before.search(q, size=10).collect()}
+    n = delete_documents(spark, path, keys=["u1"])
+    assert n == 3                      # parent + its two children
+    eng = SearchEngine(spark, path)
+    assert eng.count() == 3
+    left = {h["key"] for h in eng.hits(q, size=10)}
+    assert left == {"u2", "u4"}
+
+
 def test_nested_type_rejects_local_serving(spark, nested_type_cluster):
     from rusticsearch_spark.query.engine import SearchEngine
     idx = nested_type_cluster._dir("docs")
