@@ -67,6 +67,23 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return buf.tobytes()
 
 
+def _accumulate_varbyte(b: np.ndarray, group: np.ndarray,
+                        pos: np.ndarray, n: int) -> np.ndarray:
+    """Sum ``(b & 0x7F) << 7*pos`` into ``n`` values by ``group``.
+
+    A value has at most one byte at any position, so iterating byte
+    positions (≤ 10 for u64) lets each pass use plain fancy-index
+    ``+=`` — orders of magnitude faster than one ``np.add.at`` over
+    the whole buffer (np.add.at is per-element; this is ~2 passes for
+    typical 1-2-byte varbytes over a 100M-byte buffer)."""
+    vals = np.zeros(n, dtype=np.uint64)
+    payload = (b & 0x7F).astype(np.uint64)
+    for p in range(int(pos.max()) + 1 if pos.size else 0):
+        m = np.flatnonzero(pos == p)
+        vals[group[m]] += payload[m] << np.uint64(7 * p)
+    return vals
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Inverse of :func:`varbyte_encode`; returns uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)
@@ -75,16 +92,17 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     is_last = (b & 0x80) == 0
     n = int(is_last.sum())
     group = np.zeros(b.size, dtype=np.int64)
-    group[1:] = np.cumsum(is_last[:-1])
+    # cast before cumsum: accumulating a BOOL into int64 takes a
+    # dtype-converting scalar loop (~100x slower than the same-dtype
+    # SIMD path)
+    np.cumsum(is_last[:-1].astype(np.int64), out=group[1:])
     starts = np.empty(b.size, dtype=bool)
     starts[0] = True
     starts[1:] = is_last[:-1]
     run_start = np.where(starts, np.arange(b.size), 0)
     np.maximum.accumulate(run_start, out=run_start)
-    pos = (np.arange(b.size) - run_start).astype(np.uint64)
-    vals = np.zeros(n, dtype=np.uint64)
-    np.add.at(vals, group, (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos))
-    return vals
+    pos = np.arange(b.size) - run_start
+    return _accumulate_varbyte(b, group, pos, n)
 
 
 def varbyte_decode_concat(buf: np.ndarray, offsets: np.ndarray):
@@ -109,7 +127,8 @@ def varbyte_decode_concat(buf: np.ndarray, offsets: np.ndarray):
                 np.zeros(n_blocks, dtype=np.int64))
     is_last = (b & 0x80) == 0
     cum_last = np.zeros(b.size + 1, dtype=np.int64)
-    np.cumsum(is_last, out=cum_last[1:])
+    # same-dtype cumsum (see varbyte_decode): bool input is a trap
+    np.cumsum(is_last.astype(np.int64), out=cum_last[1:])
     counts = cum_last[offsets[1:]] - cum_last[offsets[:-1]]
     n = int(cum_last[-1])
     group = np.zeros(b.size, dtype=np.int64)
@@ -119,11 +138,8 @@ def varbyte_decode_concat(buf: np.ndarray, offsets: np.ndarray):
     starts[1:] = is_last[:-1]
     run_start = np.where(starts, np.arange(b.size), 0)
     np.maximum.accumulate(run_start, out=run_start)
-    pos = (np.arange(b.size) - run_start).astype(np.uint64)
-    vals = np.zeros(n, dtype=np.uint64)
-    np.add.at(vals, group,
-              (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos))
-    return vals, counts
+    pos = np.arange(b.size) - run_start
+    return _accumulate_varbyte(b, group, pos, n), counts
 
 
 def decode_blocks_concat(segments: np.ndarray,

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..index.codec import decode_block
+from ..index.codec import decode_blocks_concat
 from ..index.layout import IndexConfig, IndexLayout
 from ..similarity import bm25_f32, lengths_from_bytes, tfidf_f32
 from ..analysis.analyzers import AnalyzerRegistry, parse_analysis_settings
@@ -33,6 +33,43 @@ from . import dsl
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 Frame = Tuple[np.ndarray, np.ndarray]      # (doc_ids sorted-unique, scores)
+
+
+def _ranges_to_indices(starts: np.ndarray,
+                       lengths: np.ndarray) -> np.ndarray:
+    """Indices selecting ``[starts[i], starts[i]+lengths[i])`` runs
+    laid end to end — the vectorized gather plan for permuting
+    variable-length byte ranges."""
+    total = int(lengths.sum())
+    excl = np.cumsum(lengths) - lengths
+    return (np.arange(total, dtype=np.int64)
+            + np.repeat(starts - excl, lengths))
+
+
+def _concat_binary(col: "pa.ChunkedArray"):
+    """(uint8 buffer, int64 offsets) view of a (large_)binary column:
+    the per-row byte strings laid end to end, zero-copy per chunk —
+    the input shape ``codec.decode_blocks_concat`` wants."""
+    import pyarrow.types as pat
+    parts: List[np.ndarray] = []
+    lens: List[np.ndarray] = []
+    for chunk in col.chunks:
+        if len(chunk) == 0:
+            continue
+        off_dt = (np.int64 if pat.is_large_binary(chunk.type)
+                  else np.int32)
+        offs = np.frombuffer(chunk.buffers()[1], dtype=off_dt)[
+            chunk.offset:chunk.offset + len(chunk) + 1].astype(np.int64)
+        data = np.frombuffer(chunk.buffers()[2] or b"", dtype=np.uint8)
+        parts.append(data[offs[0]:offs[-1]])
+        lens.append(np.diff(offs))
+    if not parts:
+        return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    buf = np.concatenate(parts)
+    ln = np.concatenate(lens)
+    offsets = np.zeros(ln.size + 1, np.int64)
+    np.cumsum(ln, out=offsets[1:])
+    return buf, offsets
 
 
 class LocalSearcher:
@@ -88,30 +125,54 @@ class LocalSearcher:
                 layout.table("postings"),
                 columns=["field", "term", "segment", "doc_bytes",
                          "tf_bytes", "len_bytes"])
-        fields = tbl.column("field").to_pylist()
-        terms = tbl.column("term").to_pylist()
-        segs = tbl.column("segment").to_numpy()
-        docs_b = tbl.column("doc_bytes").to_pylist()
-        tfs_b = tbl.column("tf_bytes").to_pylist()
-        lens_b = tbl.column("len_bytes").to_pylist()
-        grouped: Dict[Tuple[str, str], List] = {}
-        for i in range(len(fields)):
-            grouped.setdefault((fields[i], terms[i]), []).append(i)
-        for key, idxs in grouped.items():
-            ids: List[np.ndarray] = []
-            tfs: List[np.ndarray] = []
-            lens: List[np.ndarray] = []
-            for i in idxs:
-                d, t, l = decode_block(int(segs[i]), docs_b[i], tfs_b[i],
-                                       lens_b[i])
-                ids.append(d)
-                tfs.append(t)
-                lens.append(l)
-            d = np.concatenate(ids)
-            order = np.argsort(d, kind="stable")
-            self._post[key] = (d[order],
-                               np.concatenate(tfs)[order],
-                               np.concatenate(lens)[order])
+        # Vectorized shard load: order the BLOCK rows by
+        # ((field, term), segment) — segments own disjoint doc-id
+        # ranges, so per key the segment-ordered block concatenation
+        # is already globally doc-sorted — permute the raw byte
+        # buffers in that block order (cheap: bytes, not decoded
+        # int64s), then decode EVERY posting block in one numpy pass
+        # (codec.decode_blocks_concat).  Per-key entries are
+        # zero-copy views into the three big arrays.  No per-posting
+        # sort anywhere; replaces a per-block Python decode loop
+        # that dominated shard spin-up (tests/test_codec_concat.py
+        # pins decode parity with the per-block path;
+        # tests/test_local_searcher.py pins rank identity).
+        n_rows = tbl.num_rows
+        if n_rows:
+            fields = tbl.column("field").to_pylist()
+            terms = tbl.column("term").to_pylist()
+            segs = tbl.column("segment").to_numpy()
+            codes = np.empty(n_rows, dtype=np.int64)
+            uniq: Dict[Tuple[str, str], int] = {}
+            for i in range(n_rows):
+                codes[i] = uniq.setdefault((fields[i], terms[i]),
+                                           len(uniq))
+            perm = np.lexsort((segs, codes))      # block rows only
+            cols = []
+            for name in ("doc_bytes", "tf_bytes", "len_bytes"):
+                buf, off = _concat_binary(tbl.column(name))
+                ln = np.diff(off)[perm]
+                pbuf = buf[_ranges_to_indices(off[perm], ln)]
+                poff = np.zeros(n_rows + 1, np.int64)
+                np.cumsum(ln, out=poff[1:])
+                cols.append((pbuf, poff))
+            doc_ids, tfs, lens, counts = decode_blocks_concat(
+                segs[perm], *cols[0], *cols[1], *cols[2])
+            # per-key posting ranges: key code is non-decreasing in
+            # perm order, so key boundaries are block boundaries
+            pc = codes[perm]
+            pends = np.cumsum(counts)
+            # key code is sorted along perm and every code occurs, so
+            # the b-th distinct run is code b
+            last_block = np.append(np.flatnonzero(np.diff(pc)),
+                                   n_rows - 1)
+            first_block = np.concatenate([[0], last_block[:-1] + 1])
+            key_lo = (pends - counts)[first_block]
+            key_hi = pends[last_block]
+            for key, c in uniq.items():
+                self._post[key] = (doc_ids[key_lo[c]:key_hi[c]],
+                                   tfs[key_lo[c]:key_hi[c]],
+                                   lens[key_lo[c]:key_hi[c]])
         stats = pa.concat_tables([
             pq.read_table(d) for d in
             layout.committed_dirs("field_stats")]).to_pydict()
