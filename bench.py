@@ -84,6 +84,9 @@ def main() -> None:
                      os.environ.get("SPARK_GRAFT_PAGE", "1m"))
              .config("spark.driver.memory",
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+             # FAIR + per-job pools: concurrent build write_jobs share
+             # task slots instead of queueing behind each other
+             .config("spark.scheduler.mode", "FAIR")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,8 +117,19 @@ def main() -> None:
                           "SPARK_GRAFT_TBUCKETS", "4")),
                       shuffle_partitions=int(os.environ.get(
                           "SPARK_GRAFT_SHUFFLE", str(max(16, 2 * CPUS)))))
+    # Pipeline parallelism across index jobs: each job's driver-serial
+    # stage transitions (plan, task launch, observe-collect, commit)
+    # overlap the other job's executor work — the measured Amdahl
+    # share of the 2->8 scaling gap (BENCH/APPENDIX_r5_experiments.md).
+    # Jobs are the document-sharding unit, so the artifact is
+    # query-identical (test_parallel_build_equals_serial); identical
+    # jobs/parallel at every CPU level keeps the scaling comparison
+    # honest.
+    build_jobs = int(os.environ.get("SPARK_GRAFT_BUILD_JOBS", "1"))
+    build_par = int(os.environ.get("SPARK_GRAFT_BUILD_PAR", "1"))
     t0 = time.monotonic()
-    build_index(spark, docs, idx_dir, cfg, jobs=1)
+    build_index(spark, docs, idx_dir, cfg, jobs=build_jobs,
+                parallel=build_par)
     build_sec = time.monotonic() - t0
 
     engine = SearchEngine(spark, idx_dir, cache_postings=True)

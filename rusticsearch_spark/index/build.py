@@ -520,8 +520,18 @@ def _write_field_stats(path: str, stats_rows: List[dict]) -> None:
 
 def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 config: Optional[IndexConfig] = None, jobs: int = 1,
-                resume: bool = False) -> dict:
+                resume: bool = False, parallel: int = 1) -> dict:
     """Build (or resume) the index at ``index_dir`` from ``docs``.
+
+    ``parallel`` > 1 runs that many ``write_job``s concurrently from
+    driver threads (each in its own scheduler pool).  Jobs are the
+    document-sharding unit and commit independently, so concurrency
+    changes no artifact bytes — it exists to overlap one job's
+    driver-serial stage transitions (plan/launch/commit) with another
+    job's executor work, the component the scaling evidence
+    (BENCH/APPENDIX_residual.md) attributes the local-mode 2->8 gap
+    to.  On a real cluster the analogous overlap comes free from
+    per-executor task paths; here it must be explicit.
 
     Returns a report dict with per-job lineage rows.
     """
@@ -544,17 +554,39 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                  or int(spark.conf.get("spark.sql.shuffle.partitions")))
 
     with_bucket = assign_doc_ids(docs, config.key_col, config.n_buckets)
-    report: List[dict] = []
-    for job in range(jobs):
-        if job in done:
-            continue
+
+    def _run(job: int) -> dict:
         lo, hi = job * buckets_per_job, min((job + 1) * buckets_per_job,
                                             config.n_buckets)
+        # the bucket predicate sits on the id-window's partition key,
+        # so Catalyst pushes it below the window: each job shuffles
+        # only its own bucket range, not the whole corpus
         ids = with_bucket.where(
             (F.col("_bucket") >= lo) & (F.col("_bucket") < hi)).drop("_bucket")
-        row = write_job(spark, ids, layout, config, registry, job,
-                        extra={"bucket_lo": lo, "bucket_hi": hi})
-        report.append(row)
+        return write_job(spark, ids, layout, config, registry, job,
+                         extra={"bucket_lo": lo, "bucket_hi": hi})
+
+    pending = [j for j in range(jobs) if j not in done]
+    if parallel > 1 and len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _pooled(job: int) -> dict:
+            # local properties are thread-local in Spark; a distinct
+            # pool per job gives fair slot sharing between concurrent
+            # jobs under spark.scheduler.mode=FAIR (and is harmless
+            # under FIFO, where later jobs still fill idle slots)
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"build-job-{job}")
+            try:
+                return _run(job)
+            finally:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(max_workers=parallel) as ex:
+            report = list(ex.map(_pooled, pending))
+    else:
+        report = [_run(job) for job in pending]
     return {"index_dir": index_dir, "jobs": report,
             "skipped_jobs": done, "config": config.__dict__}
 
@@ -606,10 +638,16 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
 
     # PK sidecar: (key, doc_id) bucketed by a global key hash, so
     # upsert/delete point lookups prune to corpus/kbuckets instead of
-    # scanning every docs dir (document_index.rs:16-91 analogue)
+    # scanning every docs dir (document_index.rs:16-91 analogue).
+    # Submitted from a helper thread so the small sidecar job overlaps
+    # the heavy postings job below — it only has to be complete before
+    # the lineage commit, and both read the already-written docs dir.
+    from concurrent.futures import ThreadPoolExecutor
+
     from .doc_index import write_doc_index
-    write_doc_index(ids, layout, config, job, shuffle_p)
-    _trace("doc_index_write")
+    _sidecar_pool = ThreadPoolExecutor(max_workers=1)
+    _sidecar = _sidecar_pool.submit(write_doc_index, ids, layout, config,
+                                    job, shuffle_p)
 
     # ONE shuffle end to end: hash-repartition on (field_ord, term,
     # segment) co-locates each posting group (segment = the structural
@@ -664,6 +702,9 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
               *[F.sum(F.when(F.col("field") == f, F.col("sum_tf")))
                 .alias(a) for f, a in tok_alias.items()])
      .write.mode("overwrite").parquet(layout.job_dir("term_dict", job)))
+    _sidecar.result()          # doc_index must be on disk pre-commit
+    _sidecar_pool.shutdown()
+    _trace("doc_index_join")
     tok_m = tok_obs.get
     n_blocks = int(tok_m["__n_blocks"] or 0)
     stats_rows = [{"field": f, "total_docs": doc_counts[f],

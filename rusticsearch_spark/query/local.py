@@ -35,6 +35,22 @@ _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 Frame = Tuple[np.ndarray, np.ndarray]      # (doc_ids sorted-unique, scores)
 
 
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in an already-sorted array via binary
+    search — O(m log n), no sort, no large temporaries.  Every doc-id
+    array in this module is sorted by construction (the shard loader
+    emits per-key doc-sorted postings; ``np.unique`` outputs are
+    sorted; subsets of sorted stay sorted), so this replaces
+    ``np.isin`` (which re-sorts both sides per call) on the hot
+    negation/filter/deletion paths — the allocation-heavy kernels the
+    host's memory-subsystem dips amplify worst."""
+    if sorted_arr.size == 0 or values.size == 0:
+        return np.zeros(values.shape, dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx == sorted_arr.size] = sorted_arr.size - 1
+    return sorted_arr[idx] == values
+
+
 def _ranges_to_indices(starts: np.ndarray,
                        lengths: np.ndarray) -> np.ndarray:
     """Indices selecting ``[starts[i], starts[i]+lengths[i])`` runs
@@ -206,7 +222,7 @@ class LocalSearcher:
                from_: int = 0) -> List[Tuple[int, float]]:
         ids, scores = self._materialize(self._score(self.parse(query_json)))
         if self.deleted is not None and ids.size:
-            live = ~np.isin(ids, self.deleted)
+            live = ~_in_sorted(ids, self.deleted)
             ids, scores = ids[live], scores[live]
         k = from_ + size
         if ids.size > k:
@@ -230,7 +246,7 @@ class LocalSearcher:
         else:
             ids, _ = self._materialize(self._score(self.parse(query_json)))
         if self.deleted is not None and ids.size:
-            ids = ids[~np.isin(ids, self.deleted)]
+            ids = ids[~_in_sorted(ids, self.deleted)]
         return int(ids.size)
 
     # -- evaluation (mirrors query.engine semantics) -------------------
@@ -346,12 +362,12 @@ class LocalSearcher:
             return ("none", None)
         if kind == "all":
             universe = self.all_doc_ids
-            keep = (~np.isin(universe, dset) if anti
-                    else np.isin(universe, dset))
+            keep = (~_in_sorted(universe, dset) if anti
+                    else _in_sorted(universe, dset))
             ids = universe[keep]
             return ("df", (ids, np.full(ids.size, float(val))))
         ids, s = val
-        keep = ~np.isin(ids, dset) if anti else np.isin(ids, dset)
+        keep = ~_in_sorted(ids, dset) if anti else _in_sorted(ids, dset)
         return ("df", (ids[keep], s[keep]))
 
     def _combine(self, children, mode: str):
@@ -377,7 +393,7 @@ class LocalSearcher:
             if consts:
                 cmax = max(consts)
                 out = np.maximum(out, cmax)
-                rest = self.all_doc_ids[~np.isin(self.all_doc_ids, uids)]
+                rest = self.all_doc_ids[~_in_sorted(self.all_doc_ids, uids)]
                 uids = np.concatenate([uids, rest])
                 out = np.concatenate([out, np.full(rest.size, cmax)])
             return ("df", (uids, out))
@@ -392,7 +408,7 @@ class LocalSearcher:
             full = counts == len(frames)
             return ("df", (uids[full], out[full]))
         if consts:          # or-with-All: every doc matches
-            rest = self.all_doc_ids[~np.isin(self.all_doc_ids, uids)]
+            rest = self.all_doc_ids[~_in_sorted(self.all_doc_ids, uids)]
             uids = np.concatenate([uids, rest])
             out = np.concatenate(
                 [out, np.full(rest.size, float(sum(consts)) / n)])

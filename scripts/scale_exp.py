@@ -11,6 +11,8 @@ Variants: base | precount0 | zstd | a free-form conf spec
     page=<str>    spark.buffer.pageSize
     loc=<str>     spark.locality.wait (e.g. 0s)
     precount=<0|1>
+    jobs=<int>    build_index jobs (document shards)
+    par=<int>     concurrent write_jobs (driver threads, FAIR pools)
 Prints one JSON line with build seconds + docs/sec.
 """
 import json
@@ -48,6 +50,7 @@ def main():
                  "true" if spec.get("aqe", "0") == "1" else "false")
          .config("spark.buffer.pageSize", spec.get("page", "1m"))
          .config("spark.driver.memory", "24g")
+         .config("spark.scheduler.mode", "FAIR")
          .config("spark.ui.enabled", "false"))
     if "loc" in spec:
         b = b.config("spark.locality.wait", spec["loc"])
@@ -76,11 +79,14 @@ def main():
                       precount=(spec.get("precount", "1") != "0"
                                 and VARIANT != "precount0"))
     t0 = time.monotonic()
-    build_index(spark, docs, idx, cfg, jobs=1)
+    build_index(spark, docs, idx, cfg, jobs=int(spec.get("jobs", "1")),
+                parallel=int(spec.get("par", "1")))
     sec = time.monotonic() - t0
+    from host_probe import probe
     print(json.dumps({"cpus": CPUS, "variant": VARIANT, "n_docs": n,
                       "build_sec": round(sec, 2),
-                      "docs_per_sec": round(n / sec, 1)}))
+                      "docs_per_sec": round(n / sec, 1),
+                      "host_probe_post": probe()}))
     spark.stop()
 
 

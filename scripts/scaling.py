@@ -34,10 +34,16 @@ def run(cpus: int) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    from host_probe import probe
+    pre = probe()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                          check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    # host-health stamps: a run bracketed by non-quiet probes is
+    # noise-suspect and best-of-N should prefer its quiet sibling
+    rec["host_probe_pre"], rec["host_probe_post"] = pre, probe()
+    return rec
 
 
 PAIRS = [(2, 8), (8, 32)]
@@ -78,14 +84,16 @@ def main() -> None:
         "host-capacity-capped, not engine-capped (isolated per-stage "
         "profiles at 32 threads beat 8 threads).",
         "",
-        "| cpus | build sec | docs/sec | query p50 | query p95 |",
-        "|---|---|---|---|---|",
+        "| cpus | build sec | docs/sec | query p50 | query p95 | host health (pre/post) |",
+        "|---|---|---|---|---|---|",
     ]
     for c in levels:
         r = best[c]
+        h = (r.get("host_probe_pre", {}).get("health", "?") + "/"
+             + r.get("host_probe_post", {}).get("health", "?"))
         lines.append(
             f"| {c} | {r['build_sec']} | {r['build_docs_per_sec']} | "
-            f"{r['query_p50_sec']} | {r['query_p95_sec']} |")
+            f"{r['query_p50_sec']} | {r['query_p95_sec']} | {h} |")
     lines.append("")
     for lo, hi in PAIRS:
         eff = (best[hi]["build_docs_per_sec"]

@@ -112,6 +112,22 @@ def test_multi_job_build_equals_single_job(spark, webtext, index_dir,
     assert _logical_index(spark, path) == _logical_index(spark, index_dir)
 
 
+def test_parallel_build_equals_serial(spark, webtext, index_dir,
+                                      tmp_path):
+    """Concurrent write_jobs (parallel=2, driver threads in separate
+    scheduler pools) produce the identical logical index — job
+    concurrency exists to overlap driver-serial stage transitions,
+    never to change artifact content."""
+    path = str(tmp_path / "idx_par")
+    cfg = IndexConfig(key_col="url", fields={"text": "standard",
+                                             "lang": None},
+                      n_buckets=4, tbuckets=2, shuffle_partitions=4)
+    report = build_index(spark, webtext, path, cfg, jobs=4, parallel=2)
+    assert sorted(j["job"] for j in report["jobs"]) == [0, 1, 2, 3]
+    assert IndexLayout(path).completed_jobs(spark) == [0, 1, 2, 3]
+    assert _logical_index(spark, path) == _logical_index(spark, index_dir)
+
+
 def test_resume_skips_committed_and_completes(spark, webtext, index_dir,
                                               tmp_path):
     """Kill-between-checkpoints simulation: build jobs 0-1 of 4, wipe
