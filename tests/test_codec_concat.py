@@ -74,3 +74,32 @@ def test_decode_blocks_concat_matches_decode_block(seed):
         assert np.array_equal(lens[st:st + c], gln)
         st += c
     assert st == ids.size
+
+
+def test_in_sorted_matches_isin():
+    from hypothesis import given, settings, strategies as st
+
+    from rusticsearch_spark.query.local import _in_sorted
+
+    @given(st.lists(st.integers(0, 100), max_size=40),
+           st.lists(st.integers(0, 100), max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def check(vals, members):
+        values = np.array(vals, dtype=np.int64)
+        sorted_arr = np.unique(np.array(members, dtype=np.int64))
+        got = _in_sorted(values, sorted_arr)
+        want = np.isin(values, sorted_arr)
+        assert np.array_equal(got, want)
+
+    check()
+
+
+def test_in_sorted_edges():
+    from rusticsearch_spark.query.local import _in_sorted
+    e = np.empty(0, dtype=np.int64)
+    assert _in_sorted(e, np.array([1, 2])).size == 0
+    assert not _in_sorted(np.array([1, 2]), e).any()
+    # values beyond both ends of the sorted array
+    got = _in_sorted(np.array([-5, 1, 99], dtype=np.int64),
+                     np.array([0, 1, 2], dtype=np.int64))
+    assert got.tolist() == [False, True, False]
