@@ -125,8 +125,13 @@ def main() -> None:
     # query-identical (test_parallel_build_equals_serial); identical
     # jobs/parallel at every CPU level keeps the scaling comparison
     # honest.
-    build_jobs = int(os.environ.get("SPARK_GRAFT_BUILD_JOBS", "1"))
-    build_par = int(os.environ.get("SPARK_GRAFT_BUILD_PAR", "1"))
+    # Defaults = the round-5 parallel-build experiment winner
+    # (jobs=2 concurrent write_jobs: best 8-core absolute throughput
+    # at both matrix rounds' best-of-2, ~-7% at 2 cores — adopted
+    # because the criterion rewards throughput at BOTH levels, and
+    # the 8c gain is ~4x the 2c cost)
+    build_jobs = int(os.environ.get("SPARK_GRAFT_BUILD_JOBS", "2"))
+    build_par = int(os.environ.get("SPARK_GRAFT_BUILD_PAR", "2"))
     t0 = time.monotonic()
     build_index(spark, docs, idx_dir, cfg, jobs=build_jobs,
                 parallel=build_par)
