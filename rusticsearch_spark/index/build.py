@@ -649,6 +649,15 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     _sidecar = _sidecar_pool.submit(write_doc_index, ids, layout, config,
                                     job, shuffle_p)
 
+    def _join_sidecar() -> None:
+        # always await the sidecar before leaving this frame — on a
+        # postings-stage failure an orphan thread still writing into
+        # job dirs would race the retry's clear_incomplete_job
+        try:
+            _sidecar.result()
+        finally:
+            _sidecar_pool.shutdown()
+
     # ONE shuffle end to end: hash-repartition on (field_ord, term,
     # segment) co-locates each posting group (segment = the structural
     # skew salt); the within-partition sort leads with the JVM-computed
@@ -663,47 +672,56 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     # the shuffled row stays minimal: (field_ord, term, doc_id,
     # len_byte) — every extra Tungsten field is 8 aligned bytes on
     # the build's only wide shuffle.
-    flat = _posting_rows(ids, config, registry,
-                         precount=config.precount)
-    (flat
-     .repartition(shuffle_p, "field_ord", "term",
-                  F.shiftrightunsigned("doc_id", SEGMENT_BITS))
-     .withColumn("segment", F.shiftrightunsigned("doc_id", SEGMENT_BITS))
-     .withColumn("tbucket", term_bucket_col(F.col("term"),
-                                            config.tbuckets))
-     .withColumn("gkey", F.xxhash64("field_ord", "term", "segment"))
-     .sortWithinPartitions("tbucket", "field_ord", "term", "segment",
-                           "doc_id")
-     .mapInArrow(_encode_partitions_arrow(list(config.fields)),
-                 schema=POSTINGS_SCHEMA)
-     .write.mode("overwrite").partitionBy("tbucket")
-     .parquet(layout.job_dir("postings", job)))
-    _trace("postings_write")
+    try:
+        flat = _posting_rows(ids, config, registry,
+                             precount=config.precount)
+        (flat
+         .repartition(shuffle_p, "field_ord", "term",
+                      F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+         .withColumn("segment", F.shiftrightunsigned("doc_id", SEGMENT_BITS))
+         .withColumn("tbucket", term_bucket_col(F.col("term"),
+                                                config.tbuckets))
+         .withColumn("gkey", F.xxhash64("field_ord", "term", "segment"))
+         .sortWithinPartitions("tbucket", "field_ord", "term", "segment",
+                               "doc_id")
+         .mapInArrow(_encode_partitions_arrow(list(config.fields)),
+                     schema=POSTINGS_SCHEMA)
+         .write.mode("overwrite").partitionBy("tbucket")
+         .parquet(layout.job_dir("postings", job)))
+        _trace("postings_write")
 
-    # term-dictionary sidecar (term_dictionary.rs:78-85 analogue):
-    # one narrow agg of the job's block metadata → (field, term,
-    # tbucket, df, n_blocks), term-sorted within every file so the
-    # driver-side reader prunes parquet ROW GROUPS via term min/max
-    # (hash repartition + per-file sort: row-group ranges stay tight
-    # without repartitionByRange's sampling job, which would re-run
-    # the aggregate).  Per-field token totals + the block count (the
-    # fttok statistics) ride this SAME job as observe() metrics —
-    # write_job runs exactly four Spark jobs end to end.
-    tok_obs = Observation(f"build_tok_{job}")
-    dict_src = spark.read.parquet(layout.job_dir("postings", job)) \
-        .groupBy("field", "term", "tbucket") \
-        .agg(F.sum("df_block").cast("long").alias("df"),
-             F.count("*").cast("int").alias("n_blocks"),
-             F.sum("sum_tf").cast("long").alias("sum_tf"))
-    tok_alias = {f: f"__ftok_{i}" for i, f in enumerate(config.fields)}
-    (dict_src.repartition(max(1, shuffle_p // 4), "field", "term")
-     .sortWithinPartitions("field", "term")
-     .observe(tok_obs, F.sum("n_blocks").alias("__n_blocks"),
-              *[F.sum(F.when(F.col("field") == f, F.col("sum_tf")))
-                .alias(a) for f, a in tok_alias.items()])
-     .write.mode("overwrite").parquet(layout.job_dir("term_dict", job)))
-    _sidecar.result()          # doc_index must be on disk pre-commit
-    _sidecar_pool.shutdown()
+        # term-dictionary sidecar (term_dictionary.rs:78-85 analogue):
+        # one narrow agg of the job's block metadata → (field, term,
+        # tbucket, df, n_blocks), term-sorted within every file so the
+        # driver-side reader prunes parquet ROW GROUPS via term min/max
+        # (hash repartition + per-file sort: row-group ranges stay tight
+        # without repartitionByRange's sampling job, which would re-run
+        # the aggregate).  Per-field token totals + the block count (the
+        # fttok statistics) ride this SAME job as observe() metrics —
+        # write_job runs exactly four Spark jobs end to end.
+        tok_obs = Observation(f"build_tok_{job}")
+        dict_src = spark.read.parquet(layout.job_dir("postings", job)) \
+            .groupBy("field", "term", "tbucket") \
+            .agg(F.sum("df_block").cast("long").alias("df"),
+                 F.count("*").cast("int").alias("n_blocks"),
+                 F.sum("sum_tf").cast("long").alias("sum_tf"))
+        tok_alias = {f: f"__ftok_{i}" for i, f in enumerate(config.fields)}
+        (dict_src.repartition(max(1, shuffle_p // 4), "field", "term")
+         .sortWithinPartitions("field", "term")
+         .observe(tok_obs, F.sum("n_blocks").alias("__n_blocks"),
+                  *[F.sum(F.when(F.col("field") == f, F.col("sum_tf")))
+                    .alias(a) for f, a in tok_alias.items()])
+         .write.mode("overwrite").parquet(layout.job_dir("term_dict", job)))
+    except BaseException:
+        # the sidecar thread must not outlive a failed stage (an
+        # orphan writer would race the retry's clear_incomplete_job);
+        # swallow its own error so the stage failure propagates
+        try:
+            _join_sidecar()
+        except Exception:
+            pass
+        raise
+    _join_sidecar()            # doc_index must be on disk pre-commit
     _trace("doc_index_join")
     tok_m = tok_obs.get
     n_blocks = int(tok_m["__n_blocks"] or 0)

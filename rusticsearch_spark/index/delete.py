@@ -78,8 +78,26 @@ def delete_documents(spark: SparkSession, index_dir: str,
     elif doc_ids is not None:
         target = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long")
-    else:
-        raise ValueError("pass keys or doc_ids")
+        if config.nested_paths:
+            # same cascade as the keys= path: a parent deleted by raw
+            # doc_id must take its child rows with it, or they stay
+            # live forever (and merges would re-encode orphans).
+            # Resolve the parents' KEYS from the docs table, then the
+            # children via `_nested_parent`.
+            docs_dirs = layout.committed_dirs("docs", spark)
+            if docs_dirs:
+                docs = (spark.read
+                        .option("basePath", layout.table("docs"))
+                        .parquet(*docs_dirs))
+                pkeys = (docs.join(target, "doc_id", "left_semi")
+                         .where(F.col("_nested_parent").isNull())
+                         .select(F.col(config.key_col)
+                                 .cast("string")
+                                 .alias("_nested_parent")))
+                kids = (docs.where(F.col("_nested_parent").isNotNull())
+                        .join(pkeys, "_nested_parent", "left_semi")
+                        .select("doc_id"))
+                target = target.unionByName(kids)
     target = target.distinct()
     already = load_deletions(spark, layout)
     if already is not None:

@@ -118,7 +118,14 @@ def write_small_table(path: str, rows: List[dict], schema=None) -> None:
     data = {c: [r[c] for r in rows] for c in cols}
     tbl = (pa.table(data, schema=schema) if schema is not None
            else pa.table(data))
-    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+    # temp-write + rename: a crash mid-write must never leave a torn
+    # parquet at the final name — lineage commits rely on this being
+    # atomic (a torn lineage file would wedge every later
+    # completed_jobs read, including resume), mirroring Spark's own
+    # _temporary + task-commit rename protocol
+    tmp = os.path.join(path, ".part-00000.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(path, "part-00000.parquet"))
 
 
 def term_bucket(term: str, tbuckets: int) -> int:

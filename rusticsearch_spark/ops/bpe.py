@@ -237,7 +237,13 @@ def bpe_token_count_udf_col(text_col: str,
 
     index = ChainIndex(merges)
     word_re = re.compile(TOKEN_RE)
+    # BOUNDED per-worker cache: web-scale text has a Zipf head (hit
+    # rate stays high at modest sizes) but an unbounded id/hash tail
+    # would grow a long-lived reused worker to OOM.  On overflow,
+    # drop wholesale and rebuild — O(1) amortized, no LRU bookkeeping
+    # per hit, and the hot head repopulates within a batch.
     cache: Dict[str, int] = {}
+    max_cache = 1_000_000
 
     @F.pandas_udf(T.LongType())
     def _count(texts: pd.Series) -> pd.Series:
@@ -248,6 +254,8 @@ def bpe_token_count_udf_col(text_col: str,
                 for w in word_re.findall(t.lower()):
                     c = cache.get(w)
                     if c is None:
+                        if len(cache) >= max_cache:
+                            cache.clear()
                         c = cache[w] = len(bpe_encode_fast(w, index))
                     n += c
             out.append(n)

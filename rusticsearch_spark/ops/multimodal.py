@@ -142,8 +142,17 @@ def decode_media(df: DataFrame, mode: str = "auto") -> DataFrame:
     if mode not in ("auto", "stub", "real"):
         raise ValueError(mode)
 
+    magics = (b"\x89PNG\r\n\x1a\n", b"BM", b"GIF8", b"\xff\xd8\xff")
+
     def _one(mid, mtype, payload):
-        if mode != "stub":
+        if mode == "real" or (
+                mode == "auto" and mtype == "image" and payload
+                and (_PILImage is not None
+                     or bytes(payload).startswith(magics))):
+            # auto mode probes the magic bytes first: without a
+            # codec, an unrecognizable payload would otherwise pay a
+            # raise-and-catch per ROW across the whole corpus just to
+            # land in the stub
             try:
                 return (mid, mtype, *decode_media_real(payload, mtype),
                         True)

@@ -347,6 +347,10 @@ class SearchEngine:
             raise ValueError("mode='local' serves exact f32 scores; "
                              "use precision='f32' or mode='spark'")
         self.mode = mode
+        # temporarily swapped to the child-row universe while a nested
+        # query's inner tree evaluates (match_all / root negations
+        # inside `nested` must range over array elements, not parents)
+        self._universe_override: Optional[DataFrame] = None
         self._local = None
         if mode == "local":
             from .local import LocalSearcher
@@ -380,10 +384,20 @@ class SearchEngine:
         with `_nested_parent`); they are internal — invisible to
         match_all / negation / count, exactly as ES hides Lucene
         block-join child docs."""
+        if self._universe_override is not None:
+            return self._universe_override
         if self.config.nested_paths:
             return self.docs.where(
                 F.col("_nested_parent").isNull()).select("doc_id")
         return self.docs.select("doc_id")
+
+    def _is_nested_field(self, field: str) -> bool:
+        """True when ``field`` lives under a nested-TYPE path: its
+        postings belong to child rows, so a FLAT query on it matches
+        no document (ES semantics — nested fields are only reachable
+        through a `nested` query)."""
+        return any(field == p or field.startswith(p + ".")
+                   for p in self.config.nested_paths)
 
     # ---------------------------------------------------------------
     # public API (the reference's _search/_count semantics)
@@ -412,9 +426,13 @@ class SearchEngine:
         q = self.parse(query_json)
         k = from_ + size
         # WAND's pass-1 threshold must reflect only live docs, so the
-        # fast paths are disabled when a deletion list exists
+        # fast paths are disabled when a deletion list exists — and on
+        # nested-type indexes, where internal child rows could occupy
+        # the pass-1 top-k and mis-set the prune threshold before the
+        # parent gate below removes them
         frame = None
-        if wand and self.deletions is None:
+        if wand and self.deletions is None \
+                and not self.config.nested_paths:
             if isinstance(q, dsl.Term):
                 frame = self._score_term(q.field, q.term, q.scorer, k=k)
             elif isinstance(q, (dsl.Conjunction, dsl.Disjunction,
@@ -427,6 +445,12 @@ class SearchEngine:
                     frame = self._materialize(pruned)
         if frame is None:
             frame = self._live(self._materialize(self._score(q)))
+        if self.config.nested_paths:
+            # internal child rows must never surface as hits: a flat
+            # query on a nested subfield scores child doc_ids — ES
+            # semantics are that such a query matches nothing, and
+            # every public result is a parent document
+            frame = frame.join(self._universe(), "doc_id", "left_semi")
         out = frame.orderBy(F.desc("score"), F.asc("doc_id"))
         if from_:
             out = out.offset(from_)
@@ -468,6 +492,8 @@ class SearchEngine:
             return self._live(self._universe()).count()
         q = self.parse(query_json)
         if isinstance(q, dsl.Term) and self.deletions is None:
+            if self._is_nested_field(q.field):
+                return 0     # flat query on a nested field: no parent
             if self.dict_reader is not None:
                 # dictionary lookup: zero Spark jobs for a term count
                 return self.dict_reader.lookup_one(q.field, q.term)[0]
@@ -480,6 +506,9 @@ class SearchEngine:
             if ds == NONE:
                 return 0
             return self._live(self._universe()).count()
+        if self.config.nested_paths:
+            # child rows are internal — count parent documents only
+            ds = ds.join(self._universe(), "doc_id", "left_semi")
         return self._live(ds).count()
 
     # ---------------------------------------------------------------
@@ -1005,9 +1034,37 @@ class SearchEngine:
         from ..index.layout import qname
         if q.path not in self.config.nested_paths:
             raise dsl.QueryParseError(f"unknown nested path: {q.path!r}")
-        child = self._live(self._materialize(self._score(q.query)))
-        pmap = (self.docs.where(F.col("_nested_parent").isNotNull())
-                .select("doc_id", "_nested_parent"))
+        # children OF THIS PATH only: child keys are
+        # "<parent>#<path>#<pos>" (mapping.prepare_docs), so the
+        # startswith test against the stored parent key is exact —
+        # a nested query on path A must not see path B's elements,
+        # and inner match_all / root negations must range over this
+        # path's child rows, not parents (the universe override)
+        kq = F.col(qname(self.config.key_col)).cast("string")
+        pmap = (self.docs.where(
+            F.col("_nested_parent").isNotNull()
+            & kq.startswith(F.concat(F.col("_nested_parent"),
+                                     F.lit(f"#{q.path}#"))))
+            .select("doc_id", "_nested_parent"))
+        prev = self._universe_override
+        self._universe_override = pmap.select("doc_id")
+        try:
+            if not needs_score or q.score_mode == "none":
+                ds = self._docset(q.query)
+                if ds == NONE:
+                    child = self.spark.createDataFrame(
+                        [], schema=_SCORE_SCHEMA)
+                elif ds == ALL:
+                    child = self._universe() \
+                        .withColumn("score", F.lit(0.0))
+                else:
+                    child = ds.select("doc_id") \
+                        .withColumn("score", F.lit(0.0))
+            else:
+                child = self._materialize(self._score(q.query))
+        finally:
+            self._universe_override = prev
+        child = self._live(child)
         matched = child.join(pmap, "doc_id")
         if not needs_score or q.score_mode == "none":
             scored = (matched.select("_nested_parent").distinct()

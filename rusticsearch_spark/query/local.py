@@ -51,6 +51,19 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
+def _merge_sorted_disjoint(ids_a: np.ndarray, val_a: np.ndarray,
+                           ids_b: np.ndarray, val_b: np.ndarray
+                           ) -> Frame:
+    """Merge two sorted, disjoint (ids, values) frames into one sorted
+    frame.  A Frame's id array MUST stay sorted — ``_in_sorted``
+    binary-searches docsets — so the or/max-with-All completion paths
+    cannot just append the complement."""
+    ids = np.concatenate([ids_a, ids_b])
+    vals = np.concatenate([val_a, val_b])
+    order = np.argsort(ids, kind="stable")
+    return ids[order], vals[order]
+
+
 def _ranges_to_indices(starts: np.ndarray,
                        lengths: np.ndarray) -> np.ndarray:
     """Indices selecting ``[starts[i], starts[i]+lengths[i])`` runs
@@ -394,8 +407,8 @@ class LocalSearcher:
                 cmax = max(consts)
                 out = np.maximum(out, cmax)
                 rest = self.all_doc_ids[~_in_sorted(self.all_doc_ids, uids)]
-                uids = np.concatenate([uids, rest])
-                out = np.concatenate([out, np.full(rest.size, cmax)])
+                uids, out = _merge_sorted_disjoint(
+                    uids, out, rest, np.full(rest.size, cmax))
             return ("df", (uids, out))
         ids = np.concatenate([f[0] for f in frames])
         s = np.concatenate([f[1] for f in frames])
@@ -409,9 +422,8 @@ class LocalSearcher:
             return ("df", (uids[full], out[full]))
         if consts:          # or-with-All: every doc matches
             rest = self.all_doc_ids[~_in_sorted(self.all_doc_ids, uids)]
-            uids = np.concatenate([uids, rest])
-            out = np.concatenate(
-                [out, np.full(rest.size, float(sum(consts)) / n)])
+            uids, out = _merge_sorted_disjoint(
+                uids, out, rest, np.full(rest.size, float(sum(consts)) / n))
         return ("df", (uids, out))
 
     def _materialize(self, scored) -> Frame:

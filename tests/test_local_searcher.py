@@ -196,3 +196,18 @@ def test_cluster_serving_mode_auto(spark, webtext, tmp_path):
     hb = [(h["key"], round(h["score"], 5)) for h in b.search("p", q, size=5)]
     assert ha == hb and len(ha) > 0
     assert a.count("p", q) == b.count("p", q)
+
+
+def test_local_filter_or_with_match_all_is_identity(local):
+    """Regression: the or/max-with-All completion paths must emit
+    SORTED frames — _in_sorted binary-searches docsets, so an
+    unsorted filter docset silently dropped matching docs.  A filter
+    that is semantically match-all must not change results."""
+    plain = {"match": {"text": "spark query"}}
+    for filt in (
+            {"or": [{"match_all": {}}, {"term": {"lang": "en"}}]},
+            {"dis_max": {"queries": [{"match_all": {}},
+                                     {"term": {"lang": "en"}}]}}):
+        q = {"filtered": {"query": plain, "filter": filt}}
+        assert local.search(q, size=10) == local.search(plain, size=10)
+        assert local.count(q) == local.count(plain)

@@ -249,3 +249,56 @@ def test_illegal_field_names_rejected():
         parse_mapping({"properties": {"a.b": {"type": "string"}}})
     with pytest.raises(MappingParseError, match="illegal"):
         parse_mapping({"properties": {"a`b": {"type": "string"}}})
+
+
+def test_nested_inner_match_all_and_negation(nested_type_cluster):
+    """The inner query's match_all / root negation must range over
+    THIS path's child rows, not the parent universe: nested+match_all
+    = "has at least one element"; nested+not-term = "has an element
+    missing the condition"."""
+    eng = nested_type_cluster.engine("docs")
+    q = {"nested": {"path": "comments", "query": {"match_all": {}}}}
+    assert _ids(nested_type_cluster, q) == {"u1", "u2", "u4"}
+    assert eng.count(q) == 3
+    qn = {"nested": {"path": "comments", "query":
+          {"not": {"term": {"comments.author": "alice"}}}}}
+    # u1 and u2 each have a bob element; u4's only element is alice
+    assert _ids(nested_type_cluster, qn) == {"u1", "u2"}
+    assert eng.count(qn) == 2
+
+
+def test_flat_query_on_nested_field_matches_nothing(nested_type_cluster):
+    """ES semantics: a non-nested query on a nested subfield matches
+    no document — and internal child doc_ids must never surface."""
+    eng = nested_type_cluster.engine("docs")
+    assert _ids(nested_type_cluster,
+                {"term": {"comments.author": "alice"}}) == set()
+    assert eng.count({"term": {"comments.author": "alice"}}) == 0
+    assert eng.search({"term": {"comments.stars": 5}},
+                      size=10).count() == 0
+
+
+def test_nested_delete_by_doc_id_cascades(spark, nested_type_cluster,
+                                          tmp_path):
+    """delete_documents(doc_ids=[parent]) must cascade to the
+    parent's element child rows exactly like the keys= path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rusticsearch_spark.index.delete import delete_documents
+    from rusticsearch_spark.query.engine import SearchEngine
+    src = nested_type_cluster._dir("docs")
+    path = str(tmp_path / "cascade_ids")
+    shutil.copytree(src, path)
+    eng = SearchEngine(spark, path)
+    pid = eng.docs.where((F.col("url") == "u1")
+                         & F.col("_nested_parent").isNull()) \
+        .select("doc_id").collect()[0][0]
+    n = delete_documents(spark, path, doc_ids=[int(pid)])
+    assert n == 3                      # parent + its two children
+    eng2 = SearchEngine(spark, path)
+    assert eng2.count() == 3
+    q = {"nested": {"path": "comments",
+                    "query": {"term": {"comments.stars": 5}}}}
+    assert {h["key"] for h in eng2.hits(q, size=10)} == {"u2", "u4"}
