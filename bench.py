@@ -167,8 +167,16 @@ def main() -> None:
     # LocalSearcher over the same artifact (query/local.py — exact
     # f32 rank identity), not a Spark job per query.  Additive keys;
     # the Spark-lane numbers above are unchanged.
+    # SPARK_GRAFT_SERVING=0 skips this lane: the eager shard load is
+    # the one bench phase dominated by fresh-page allocation, which
+    # this host's degraded windows slow ~100x — a multi-run scaling
+    # session must not serialize behind it (serving evidence lives in
+    # BENCH/APPENDIX_serving.md and the default single-run lane)
     local_lat: dict = {}
+    local_p50 = local_p95 = None
     try:
+        if os.environ.get("SPARK_GRAFT_SERVING", "1") == "0":
+            raise RuntimeError("serving lane disabled")
         from rusticsearch_spark.query.local import LocalSearcher
         ls = LocalSearcher(idx_dir)
         lruns_all = []

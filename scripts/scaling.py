@@ -26,6 +26,10 @@ def run(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPLICATE=str(REP))
     env.setdefault("SPARK_GRAFT_QUERY_RUNS", "1")
+    # the serving lane's eager load crawls in degraded-host windows
+    # (fresh-page-fault collapse) and would serialize the whole
+    # multi-run session behind it; its evidence has its own appendix
+    env.setdefault("SPARK_GRAFT_SERVING", "0")
     # HARD-cap the run to `cpus` physical cores (inherited by the JVM
     # and every forked Python worker).  local[N] alone does NOT cap
     # cores for UDF loads — each task thread pairs with a Python
