@@ -61,9 +61,13 @@ def main() -> None:
     # capacity under noisy neighbors
     levels = sorted({c for pair in PAIRS for c in pair})
     best = {}
-    for _ in range(2):
+    raw_log = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+    os.makedirs(os.path.dirname(raw_log), exist_ok=True)
+    for rnd in range(2):
         for c in levels:
             r = run(c)
+            with open(raw_log, "a") as rf:
+                rf.write(json.dumps({"round": rnd, **r}) + "\n")
             if (c not in best
                     or r["build_docs_per_sec"]
                     > best[c]["build_docs_per_sec"]):
