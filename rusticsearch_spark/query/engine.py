@@ -227,6 +227,11 @@ class SearchEngine:
     # postings across the query's terms.  Below it, a toy/medium
     # corpus full decode is one job and strictly cheaper.
     PRUNE_MIN_POSTINGS = 100_000
+    # per-task-slot engage threshold for block-max pruning: below
+    # df ≈ 5M postings/slot, the vectorized cached decode is faster
+    # than the prune's extra sequential driver round-trips (measured
+    # A/B in _prune_threshold's docstring)
+    PRUNE_POSTINGS_PER_SLOT = 5_000_000
 
     #: "auto" serving mode switches to the driver-local searcher when
     #: the LARGEST PER-SHARD postings artifact (one build job = one
@@ -372,6 +377,29 @@ class SearchEngine:
                              for f in files)
             out[d] = total
         return out
+
+    def _prune_threshold(self, min_postings: int) -> int:
+        """Parallelism-aware WAND engage gate.  The work pruning
+        saves is the FULL decode, which spreads across every task
+        slot — wall cost ~ df/slots — while the probe pass it buys
+        costs two extra SEQUENTIAL driver round-trips regardless of
+        slots.  Measured on the 3.2M-doc bench artifact with cached
+        postings (same session, interleaved): full decode beats the
+        two-pass prune at EVERY level — term top-10 3.8 vs 11.3 s at
+        2 cores, 1.1-2.1 vs 6.7-7.9 s at 8, 0.7-2.1 vs 3.6-5.3 s at
+        32; match_or 9.8-13.1 vs 23-26 s at 2 cores.  Vectorized
+        in-memory decode runs ~10M postings/s/slot, so pruning only
+        pays in the IO-bound regime it was designed for: cold,
+        on-disk posting lists whose per-slot share is huge (the
+        100 TB shape — billions-of-postings terms read from object
+        storage).  Hence a per-slot threshold: engage only when the
+        per-slot decode share could dominate the ~3 driver
+        round-trips.  Setting prune_min_postings = 0 still forces
+        the gate open (the rank-identity parity tests)."""
+        if min_postings <= 0:
+            return 0
+        slots = max(1, self.spark.sparkContext.defaultParallelism)
+        return max(min_postings, self.PRUNE_POSTINGS_PER_SLOT * slots)
 
     def _live(self, frame: DataFrame) -> DataFrame:
         if self.deletions is None:
@@ -652,7 +680,8 @@ class SearchEngine:
             return ("df", self._fused_aggregate(rows, mode, n))
 
         if (nbsum <= 2 * probe_blocks * n
-                or sum(dfmap.values()) < min_postings):
+                or sum(dfmap.values())
+                < self._prune_threshold(min_postings)):
             return _full()             # decode is the cheaper plan
         self._fused_pruned = True
         # Pruning pays its metadata aggregate only now that the gate
@@ -863,7 +892,7 @@ class SearchEngine:
                 field, scorer.similarity, scorer.boost, True)
 
         if (not nb or nb <= 2 * probe_blocks
-                or df_global < min_postings):
+                or df_global < self._prune_threshold(min_postings)):
             return _full()               # decode is the cheaper plan
         ub_udf = self._block_ub_udf(field, df_global, scorer.boost)
         wb = blocks.withColumn("ub", ub_udf(F.col("max_tf"),
