@@ -167,6 +167,31 @@ def test_fused_multiterm_pruning_matches_full_eval(spark, webtext,
     assert engaged >= 2   # pruning path actually exercised
 
 
+def test_prune_gate_is_parallelism_aware(engine):
+    """The block-max prune trades a distributed full decode
+    (wall ~ Σdf / task slots) for 2-3 SEQUENTIAL driver round-trips,
+    so its engage gate must scale with parallelism: below ~5M
+    postings per slot the one-job cached decode measured 3-5× faster
+    (BENCH/APPENDIX_r5_experiments.md).  Pin: the threshold scales
+    with defaultParallelism, 0 still forces the gate open (the
+    parity tests above), and a toy corpus never engages under the
+    default gate."""
+    eng = engine
+    slots = eng.spark.sparkContext.defaultParallelism
+    assert eng._prune_threshold(0) == 0
+    assert (eng._prune_threshold(eng.PRUNE_MIN_POSTINGS)
+            == eng.PRUNE_POSTINGS_PER_SLOT * slots)
+    # a threshold already above the per-slot floor passes through
+    big = eng.PRUNE_POSTINGS_PER_SLOT * slots * 10
+    assert eng._prune_threshold(big) == big
+    # default gate: toy corpus decodes in full, no two-pass prune
+    eng.search({"term": {"text": "the"}}, size=5, wand=True).collect()
+    assert not eng._wand_pruned
+    eng.search({"match": {"text": "the data"}}, size=5,
+               wand=True).collect()
+    assert not eng._fused_pruned
+
+
 def test_nested_fused_combine_matches_generic(engine):
     """Two-level fused decode (multi_match: DisMax over per-field
     Disjunctions in ONE decode job) must equal the recursive
