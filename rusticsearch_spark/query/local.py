@@ -105,7 +105,8 @@ class LocalSearcher:
     def __init__(self, index_dir: str,
                  jobs: Optional[List[int]] = None,
                  global_terms: Optional[List[str]] = None,
-                 global_df: Optional[Dict[Tuple[str, str], int]] = None):
+                 global_df: Optional[Dict[Tuple[str, str], int]] = None,
+                 lazy: bool = False):
         """``jobs`` restricts the searcher to a subset of committed
         job directories — the document-sharding unit (jobs own
         disjoint url-hash bucket ranges, so a per-job shard holds ALL
@@ -116,7 +117,16 @@ class LocalSearcher:
         input): every score input must stay GLOBAL under sharding or
         a doc's score would depend on the shard split.
         ShardedSearcher passes both; rank identity is pinned by
-        tests/test_local_searcher.py."""
+        tests/test_local_searcher.py.
+
+        ``lazy=True`` defers posting-block decode to first use of
+        each (field, term): spin-up holds only the PERMUTED varbyte
+        buffers (~ compressed artifact bytes, no int64 expansion) and
+        a query decodes exactly its own terms' contiguous byte range
+        (cached after).  Right for cold-start-sensitive serving and
+        large shards; eager (default) pre-decodes everything so no
+        first-hit pays decode — identical results either way
+        (tests/test_local_searcher.py lazy battery)."""
         import os
         layout = IndexLayout(index_dir)
         self.config: IndexConfig = layout.read_config()
@@ -131,6 +141,11 @@ class LocalSearcher:
         # per-term df; loaded eagerly from the block table
         self._post: Dict[Tuple[str, str],
                          Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # lazy mode: permuted varbyte buffers + per-key block ranges;
+        # _post then acts as the decode cache
+        self._lazy_data: Optional[Tuple[np.ndarray, List]] = None
+        self._key_blocks: Optional[Dict[Tuple[str, str],
+                                        Tuple[int, int]]] = None
         # committed jobs only (same visibility rule as SearchEngine:
         # lineage-resolved dirs, never a job=* glob)
         if jobs is not None:
@@ -185,23 +200,32 @@ class LocalSearcher:
                 poff = np.zeros(n_rows + 1, np.int64)
                 np.cumsum(ln, out=poff[1:])
                 cols.append((pbuf, poff))
-            doc_ids, tfs, lens, counts = decode_blocks_concat(
-                segs[perm], *cols[0], *cols[1], *cols[2])
-            # per-key posting ranges: key code is non-decreasing in
-            # perm order, so key boundaries are block boundaries
+            # per-key BLOCK ranges: key code is non-decreasing in
+            # perm order, so key boundaries are block boundaries and
+            # (key code being sorted with every code occurring) the
+            # b-th distinct run is code b
             pc = codes[perm]
-            pends = np.cumsum(counts)
-            # key code is sorted along perm and every code occurs, so
-            # the b-th distinct run is code b
             last_block = np.append(np.flatnonzero(np.diff(pc)),
                                    n_rows - 1)
             first_block = np.concatenate([[0], last_block[:-1] + 1])
-            key_lo = (pends - counts)[first_block]
-            key_hi = pends[last_block]
-            for key, c in uniq.items():
-                self._post[key] = (doc_ids[key_lo[c]:key_hi[c]],
-                                   tfs[key_lo[c]:key_hi[c]],
-                                   lens[key_lo[c]:key_hi[c]])
+            if lazy:
+                # hold bytes only; decode per key on first use
+                self._lazy_data = (
+                    np.ascontiguousarray(segs[perm], dtype=np.int64),
+                    cols)
+                self._key_blocks = {
+                    key: (int(first_block[c]), int(last_block[c]) + 1)
+                    for key, c in uniq.items()}
+            else:
+                doc_ids, tfs, lens, counts = decode_blocks_concat(
+                    segs[perm], *cols[0], *cols[1], *cols[2])
+                pends = np.cumsum(counts)
+                key_lo = (pends - counts)[first_block]
+                key_hi = pends[last_block]
+                for key, c in uniq.items():
+                    self._post[key] = (doc_ids[key_lo[c]:key_hi[c]],
+                                       tfs[key_lo[c]:key_hi[c]],
+                                       lens[key_lo[c]:key_hi[c]])
         stats = pa.concat_tables([
             pq.read_table(d) for d in
             layout.committed_dirs("field_stats")]).to_pydict()
@@ -263,9 +287,39 @@ class LocalSearcher:
         return int(ids.size)
 
     # -- evaluation (mirrors query.engine semantics) -------------------
+    def _dict_keys(self):
+        """The shard's (field, term) dictionary — `_key_blocks` in
+        lazy mode (where `_post` is only the decode cache)."""
+        return (self._key_blocks if self._key_blocks is not None
+                else self._post)
+
+    def _lookup(self, key: Tuple[str, str]
+                ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Postings for one (field, term).  Lazy mode decodes the
+        key's contiguous permuted byte range on first use and caches
+        it — a query pays decode only for its own terms."""
+        post = self._post.get(key)
+        if post is not None or self._key_blocks is None:
+            return post
+        rng = self._key_blocks.get(key)
+        if rng is None:
+            return None
+        fb, lbx = rng
+        segs, cols = self._lazy_data
+        parts: List[np.ndarray] = []
+        for pbuf, poff in cols:
+            b0 = int(poff[fb])
+            parts.extend((pbuf[b0:int(poff[lbx])],
+                          poff[fb:lbx + 1] - b0))
+        doc_ids, tfs, lens, _ = decode_blocks_concat(
+            segs[fb:lbx], *parts)
+        post = (doc_ids, tfs, lens)
+        self._post[key] = post
+        return post
+
     def _term(self, field: str, term: str,
               scorer: dsl.TermScorer) -> Frame:
-        post = self._post.get((field, term))
+        post = self._lookup((field, term))
         if post is None:
             return _EMPTY
         ids, tfs, lens = post
@@ -307,7 +361,7 @@ class LocalSearcher:
             and editdist_leq(t, q.term, q.fuzziness), q.scorer)
 
     def _multiterm(self, field: str, match_fn, scorer) -> Frame:
-        matched = [k for k in self._post if k[0] == field
+        matched = [k for k in self._dict_keys() if k[0] == field
                    and match_fn(k[1])]
         if not matched:
             return _EMPTY
@@ -320,7 +374,8 @@ class LocalSearcher:
         if self._global_terms is not None:
             n_dict = sum(1 for t in self._global_terms if match_fn(t))
         else:
-            n_dict = len({t for _, t in self._post if match_fn(t)})
+            n_dict = len({t for _, t in self._dict_keys()
+                          if match_fn(t)})
         frames = [self._term(f, t, scorer) for f, t in matched]
         ids, s = self._sum_frames(frames)
         return ids, s / float(n_dict)
@@ -488,7 +543,8 @@ class ShardedSearcher:
     """
 
     def __init__(self, index_dir: str,
-                 shards: Optional[List[List[int]]] = None):
+                 shards: Optional[List[List[int]]] = None,
+                 lazy: bool = False):
         layout = IndexLayout(index_dir)
         jobs = layout.completed_jobs_local()
         if shards is None:
@@ -496,7 +552,7 @@ class ShardedSearcher:
         gterms, gdf = load_global_dict(index_dir)
         self.shards = [LocalSearcher(index_dir, jobs=js,
                                      global_terms=gterms,
-                                     global_df=gdf)
+                                     global_df=gdf, lazy=lazy)
                        for js in shards]
 
     def search(self, query_json: dict, size: int = 10,

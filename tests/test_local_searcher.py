@@ -52,6 +52,32 @@ def test_local_latency_single_digit_ms(local):
     assert per_query < 0.05, f"{per_query * 1e3:.1f}ms per query"
 
 
+def test_lazy_searcher_identical_and_on_demand(index_dir, local):
+    """lazy=True must return byte-identical results to the eager
+    searcher for every query class — including the dictionary
+    enumerations (prefix/wildcard/fuzzy), which must range over the
+    FULL key set, not the decode cache — while decoding only the
+    terms a query touches."""
+    lz = LocalSearcher(index_dir, lazy=True)
+    assert lz._key_blocks is not None and len(lz._post) == 0
+    q = {"term": {"text": "merge"}}
+    got = lz.search(q, size=10)
+    # decoded exactly the touched term, nothing else
+    assert set(lz._post) == {("text", "merge")}
+    assert got == local.search(q, size=10)
+    extra = [("wildcard_lead", {"wildcard": {"text": "*ark"}}),
+             ("prefix", {"prefix": {"text": "sc"}}),
+             ("fuzzy", {"fuzzy": {"text": {"value": "part",
+                                           "fuzziness": 1}}})]
+    for name, q in QUERIES + extra:
+        assert lz.search(q, size=10) == local.search(q, size=10), name
+        assert lz.count(q) == local.count(q), name
+    # repeated queries hit the cache (same arrays, no growth)
+    n_cached = len(lz._post)
+    lz.search({"term": {"text": "merge"}}, size=10)
+    assert len(lz._post) == n_cached
+
+
 @pytest.fixture(scope="module")
 def multijob_index(spark, webtext, tmp_path_factory):
     """A 3-job index (disjoint bucket ranges) — the document-sharding
@@ -92,6 +118,20 @@ def test_sharded_searcher_rank_identical(multijob_index):
     q = {"match": {"text": "spark query"}}
     full = whole.search(q, size=20)
     assert sharded.search(q, size=5, from_=5) == full[5:10]
+
+
+def test_sharded_lazy_matches_eager(multijob_index):
+    """lazy passes through sharding: per-shard on-demand decode must
+    not change the merged global top-k."""
+    from rusticsearch_spark.query.local import ShardedSearcher
+    eager = ShardedSearcher(multijob_index)
+    lz = ShardedSearcher(multijob_index, lazy=True)
+    for q in [{"match": {"text": "spark query"}},
+              {"prefix": {"text": "sc"}},
+              {"filtered": {"query": {"match": {"text": "hash join"}},
+                            "filter": {"term": {"lang": "en"}}}}]:
+        assert lz.search(q, size=10) == eager.search(q, size=10)
+        assert lz.count(q) == eager.count(q)
 
 
 def test_engine_auto_mode_picks_sharded(spark, multijob_index, monkeypatch):
