@@ -75,14 +75,17 @@ class Cluster:
     """Python facade over multiple on-disk indices."""
 
     def __init__(self, spark: SparkSession, root_dir: str,
-                 serving_mode: str = "spark"):
+                 serving_mode: str = "spark",
+                 serving_lazy: bool = False):
         """``serving_mode`` is forwarded to every SearchEngine this
         cluster opens: "spark" | "local" | "auto" (see
         query.engine.SearchEngine — "auto" serves small indexes from
-        the driver in milliseconds, no Spark jobs)."""
+        the driver in milliseconds, no Spark jobs).  ``serving_lazy``
+        forwards the driver-side searcher's decode-on-demand mode."""
         self.spark = spark
         self.root = root_dir
         self.serving_mode = serving_mode
+        self.serving_lazy = serving_lazy
         os.makedirs(root_dir, exist_ok=True)
         self.registry = NameRegistry()
         self._mappings: Dict[str, List[FieldMapping]] = {}
@@ -133,7 +136,8 @@ class Cluster:
     def engine(self, index: str) -> SearchEngine:
         if index not in self._engines:
             self._engines[index] = SearchEngine(
-                self.spark, self._dir(index), mode=self.serving_mode)
+                self.spark, self._dir(index), mode=self.serving_mode,
+                serving_lazy=self.serving_lazy)
         return self._engines[index]
 
     def search(self, name: str, query_json: dict, size: int = 10,

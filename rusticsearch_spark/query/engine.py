@@ -245,14 +245,18 @@ class SearchEngine:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  precision: str = "f32", cache_postings: bool = False,
-                 mode: str = "spark"):
+                 mode: str = "spark", serving_lazy: bool = False):
         """``mode``: "spark" (default) plans every query as Spark
         jobs; "local" serves top-k/count from the driver-side
         LocalSearcher (millisecond latency, rank-identical f32
         scores — tests/test_local_searcher.py) and is valid only for
         precision="f32" and indexes that fit the driver; "auto"
         picks "local" when the postings artifact is under
-        LOCAL_MAX_BYTES."""
+        LOCAL_MAX_BYTES.  ``serving_lazy`` forwards lazy
+        decode-on-demand to the driver-side searcher(s): spin-up
+        holds bytes only and each query decodes exactly its own
+        terms (identical results; 9× faster cold start measured —
+        BENCH/APPENDIX_serving.md)."""
         self.spark = spark
         self.precision = precision
         self.prune_min_postings = self.PRUNE_MIN_POSTINGS
@@ -359,10 +363,10 @@ class SearchEngine:
         self._local = None
         if mode == "local":
             from .local import LocalSearcher
-            self._local = LocalSearcher(index_dir)
+            self._local = LocalSearcher(index_dir, lazy=serving_lazy)
         elif mode == "sharded":
             from .local import ShardedSearcher
-            self._local = ShardedSearcher(index_dir)
+            self._local = ShardedSearcher(index_dir, lazy=serving_lazy)
 
     def _postings_bytes(self) -> int:
         return sum(self._postings_bytes_per_job().values())

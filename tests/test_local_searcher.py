@@ -196,6 +196,15 @@ def test_engine_local_mode_matches_spark_mode(spark, index_dir):
     import pytest
     with pytest.raises(ValueError, match="f32"):
         SearchEngine(spark, index_dir, precision="f64", mode="local")
+    # serving_lazy passthrough: identical hits, decode-on-demand cache
+    lzy = SearchEngine(spark, index_dir, mode="local",
+                       serving_lazy=True)
+    assert lzy._local._key_blocks is not None
+    q = {"match": {"text": "spark query"}}
+    assert ([(r.doc_id, round(r.score, 5)) for r in
+             lzy.search(q, size=12).collect()]
+            == [(r.doc_id, round(r.score, 5)) for r in
+                loc.search(q, size=12).collect()])
 
 
 def test_local_selector_queries_match_engine(spark, index_dir):
