@@ -242,6 +242,10 @@ class SearchEngine:
     #: runs in its own serving process (query/local.ShardedSearcher
     #: is the same math in one process).
     LOCAL_MAX_BYTES = 256 << 20
+    #: lazy serving holds the compressed bytes (plus a per-term decode
+    #: cache) instead of the eager searcher's ~10× int64 expansion, so
+    #: "auto" with serving_lazy=True can honestly admit larger shards
+    LAZY_BYTES_FACTOR = 4
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  precision: str = "f32", cache_postings: bool = False,
@@ -344,11 +348,15 @@ class SearchEngine:
             # serving tier scales out by document shard (one build
             # job per LocalSearcher, query/local.ShardedSearcher), so
             # the driver-tier cutoff is the largest shard's artifact.
+            # Lazy serving keeps shards compressed in memory, so its
+            # cutoff admits LAZY_BYTES_FACTOR× more artifact bytes.
             per_job = self._postings_bytes_per_job()
             total = sum(per_job.values())
-            if total <= self.LOCAL_MAX_BYTES:
+            cutoff = self.LOCAL_MAX_BYTES * (
+                self.LAZY_BYTES_FACTOR if serving_lazy else 1)
+            if total <= cutoff:
                 mode = "local"
-            elif per_job and max(per_job.values()) <= self.LOCAL_MAX_BYTES:
+            elif per_job and max(per_job.values()) <= cutoff:
                 mode = "sharded"
             else:
                 mode = "spark"

@@ -157,6 +157,35 @@ def test_engine_auto_mode_picks_sharded(spark, multijob_index, monkeypatch):
     assert eng.count(q) == probe.count(q)
 
 
+def test_auto_mode_lazy_widens_cutoff(spark, multijob_index,
+                                      monkeypatch):
+    """serving_lazy=True keeps shards compressed in memory, so the
+    auto cutoff admits LAZY_BYTES_FACTOR x more bytes: at a cutoff
+    where eager auto falls back to spark, lazy auto still serves
+    driver-side — with identical results."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    probe = SearchEngine(spark, multijob_index, mode="spark")
+    per_job = probe._postings_bytes_per_job()
+    # below every shard: eager auto → spark; lazy (4×) → still local
+    # tier as long as 4×cutoff ≥ the deciding size
+    cutoff = max(per_job.values()) - 1
+    assert cutoff * SearchEngine.LAZY_BYTES_FACTOR \
+        >= sum(per_job.values())
+    monkeypatch.setattr(SearchEngine, "LOCAL_MAX_BYTES", cutoff)
+    eager = SearchEngine(spark, multijob_index, mode="auto")
+    assert eager.mode == "spark"
+    lz = SearchEngine(spark, multijob_index, mode="auto",
+                      serving_lazy=True)
+    assert lz.mode in ("local", "sharded")
+    assert lz._local is not None
+    q = {"match": {"text": "table scan"}}
+    a = [(r.doc_id, round(r.score, 5)) for r in
+         lz.search(q, size=10).collect()]
+    b = [(r.doc_id, round(r.score, 5)) for r in
+         probe.search(q, size=10).collect()]
+    assert a == b and len(a) > 0
+
+
 def test_local_sees_deletions(spark, index_dir, tmp_path, oracle):
     import shutil
 
