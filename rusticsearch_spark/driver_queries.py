@@ -1247,15 +1247,21 @@ def q_token_count_bpe_10k(spark, sf_dir):
     """Real-VOCABULARY BPE counts: the shipped 10,240-merge table
     through the Arrow-batched fast encoder (ops/bpe.py — a 10k-deep
     replace-chain expression cannot compile, so this is the scale
-    path for genuine vocabularies).  Byte-parity of the fast encoder
-    with the replace-chain reference is pytest-pinned
-    (tests/test_bpe_langid.py); no tractable pure-SQL oracle exists
-    for a 10k-rule chain, so the driver records the rows-only check.
-    """
+    path for genuine vocabularies).  Oracle-checked: the recursive
+    candidate-fold CTE (``bpe_token_count_sql_rec``) reproduces the
+    fast encoder byte-identically with recursion depth bounded by
+    per-word candidate count, not vocabulary size; byte-parity of
+    the fast encoder with the full replace chain is additionally
+    pytest-pinned (tests/test_bpe_langid.py)."""
     from .ops.bpe import load_merges_10k, token_count_bpe
     return token_count_bpe(
         _docs(spark, sf_dir).where(F.col("text").isNotNull()),
         merges=load_merges_10k(), mode="udf")
+
+
+def sql_token_count_bpe_10k():
+    from .ops.bpe import bpe_token_count_sql_rec, load_merges_10k
+    return bpe_token_count_sql_rec(load_merges_10k())
 
 
 def sql_token_count_bpe():
@@ -1508,6 +1514,7 @@ ORACLES: Dict[str, str] = {
     "lang_id": sql_lang_id(),
     "token_count": sql_token_count(),
     "token_count_bpe": sql_token_count_bpe(),
+    "token_count_bpe_10k": sql_token_count_bpe_10k(),
     "fingerprint": sql_fingerprint(),
     "events_window": sql_events_window(),
     "events_sessionize": sql_events_sessionize(),

@@ -348,6 +348,79 @@ def load_merges_10k() -> List[Tuple[str, str]]:
     return _MERGES_10K
 
 
+def bpe_token_count_sql_rec(merges: Sequence[Tuple[str, str]],
+                            text_expr: str = "text") -> str:
+    """DuckDB oracle for the FAST-ENCODER path at real vocabulary
+    sizes (10k+ merges), where the replace-chain expression form of
+    ``bpe_token_count_sql`` cannot be built.
+
+    Key insight (same exactness argument as :class:`ChainIndex`):
+    rule (a, b) can fire on a word only if ``a+b`` occurs as a
+    contiguous substring of the ORIGINAL word, so the chain over 10k
+    rules collapses, per word, to its few CANDIDATE rules applied in
+    rank order.  The oracle therefore joins the distinct words
+    against the merges relation on ``contains(word, ab)``, collects
+    each word's candidate (pattern, replacement) lists sorted by
+    rank, and folds the replaces with a recursive CTE whose depth is
+    the per-word candidate count — bounded by |word|^2, independent
+    of vocabulary size.  Byte-identical to ``bpe_encode_fast`` (and
+    hence to the full replace chain) by construction.
+
+    The merges table is embedded as ONE newline-joined string
+    literal (tokens are ``[a-z0-9]+`` so no escaping is needed —
+    enforced below), keeping the oracle self-contained: no file
+    reads, no registered relations beyond the driver's views."""
+    lit_lines = []
+    for a, b in merges:
+        pair = a + b
+        if not (pair.isascii() and pair.isalnum()):
+            raise ValueError(f"non-alnum merge pair {(a, b)!r}")
+        lit_lines.append(a + " " + b)
+    lit = "\n".join(lit_lines)
+    return f"""
+WITH RECURSIVE bpe_raw AS (
+  SELECT unnest(string_split('{lit}', chr(10))) AS line,
+         unnest(range({len(merges)})) AS rank
+), bpe_m AS (
+  SELECT rank, split_part(line,' ',1) || '{SEP}' ||
+               split_part(line,' ',2) AS pat,
+         split_part(line,' ',1) || split_part(line,' ',2) AS ab
+  FROM bpe_raw
+), bpe_doc_words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower({text_expr}),
+                                   '{TOKEN_RE}')) AS word
+  FROM documents WHERE {text_expr} IS NOT NULL
+), bpe_uw AS (SELECT DISTINCT word FROM bpe_doc_words
+), bpe_prog AS (
+  SELECT bpe_uw.word, list(m.pat ORDER BY m.rank) AS pats,
+         list(m.ab ORDER BY m.rank) AS repls
+  FROM bpe_uw JOIN bpe_m m ON contains(bpe_uw.word, m.ab)
+  GROUP BY bpe_uw.word
+), bpe_enc AS (
+  SELECT bpe_uw.word,
+         regexp_replace(bpe_uw.word, '(.)', '\\1{SEP}', 'g') AS rep,
+         coalesce(p.pats, []) AS pats,
+         coalesce(p.repls, []) AS repls, 0 AS i
+  FROM bpe_uw LEFT JOIN bpe_prog p USING (word)
+  UNION ALL
+  SELECT word, replace(rep, pats[i+1], repls[i+1]), pats, repls, i+1
+  FROM bpe_enc WHERE i < len(pats)
+), bpe_counts AS (
+  SELECT word,
+         length(rep) - length(replace(rep,'{SEP}','')) AS n
+  FROM bpe_enc WHERE i = len(pats)
+)
+SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_bpe
+FROM (SELECT doc_id FROM documents WHERE {text_expr} IS NOT NULL) d
+LEFT JOIN (
+  SELECT dw.doc_id, sum(c.n) AS n
+  FROM bpe_doc_words dw JOIN bpe_counts c USING (word)
+  GROUP BY dw.doc_id
+) s USING (doc_id)
+"""
+
+
 def bpe_token_count_sql(merges: Sequence[Tuple[str, str]] = None,
                         text_expr: str = "text") -> str:
     """DuckDB expression computing the identical count (RE2 has no

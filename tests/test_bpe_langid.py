@@ -62,6 +62,39 @@ def test_duckdb_oracle_matches_python_reference():
         assert got == bpe_token_count_py(s, DEFAULT_MERGES), s
 
 
+def test_recursive_cte_oracle_matches_fast_encoder_10k():
+    """The driver oracle for token_count_bpe_10k: the recursive
+    candidate-fold CTE must reproduce the fast encoder (and hence
+    the full 10,240-rule replace chain) byte-identically, on a
+    corpus far richer than the sf0.01 vocabulary — including the
+    chain's prefix-match quirk words, unseen words, and empty/NULL
+    text rows."""
+    from rusticsearch_spark.ops.bpe import (ChainIndex,
+                                            bpe_encode_fast,
+                                            bpe_token_count_sql_rec,
+                                            load_merges_10k, _words)
+    merges = load_merges_10k()
+    idx = ChainIndex(merges)
+    texts = SAMPLES + [
+        SEED_TEXT,
+        "corpus corpora interdependently microbenchmark 42x9",
+        "retokenizers overcounted prestreaming unmergeable",
+        None,
+        "   ",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = dict(con.execute(bpe_token_count_sql_rec(merges)).fetchall())
+    want = {i: sum(len(bpe_encode_fast(w, idx)) for w in _words(t))
+            for i, t in rows if t is not None}
+    assert got == want
+    # non-alnum merge pairs are refused (would break the literal)
+    with pytest.raises(ValueError, match="non-alnum"):
+        bpe_token_count_sql_rec([("a'", "b")])
+
+
 def test_spark_expr_matches_python_reference(spark):
     rows = [(i, s) for i, s in enumerate(SAMPLES)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
