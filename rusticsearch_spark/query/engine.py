@@ -335,14 +335,14 @@ class SearchEngine:
         if mode not in ("spark", "local", "sharded", "auto"):
             raise ValueError(
                 f"mode must be spark|local|sharded|auto: {mode!r}")
-        if mode != "spark" and self.config.nested_paths:
-            # the driver-side searcher has no nested-query evaluator
-            # and would count child rows in match_all
-            if mode == "auto":
-                mode = "spark"
-            else:
-                raise ValueError(
-                    "nested-type indexes serve in mode='spark' only")
+        if mode == "sharded" and self.config.nested_paths:
+            # child rows bucket by their SYNTHETIC key, not their
+            # parent's, so per-job shards can split a parent from its
+            # elements — per-shard evaluation would drop matches.
+            # (The whole-index LocalSearcher serves nested fine.)
+            raise ValueError(
+                "nested-type indexes cannot serve sharded; "
+                "use mode='local', 'auto' or 'spark'")
         if mode == "auto":
             # per-SHARD bytes decide, not whole-index bytes: the
             # serving tier scales out by document shard (one build
@@ -356,7 +356,8 @@ class SearchEngine:
                 self.LAZY_BYTES_FACTOR if serving_lazy else 1)
             if total <= cutoff:
                 mode = "local"
-            elif per_job and max(per_job.values()) <= cutoff:
+            elif per_job and max(per_job.values()) <= cutoff \
+                    and not self.config.nested_paths:
                 mode = "sharded"
             else:
                 mode = "spark"

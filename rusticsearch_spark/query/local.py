@@ -234,11 +234,57 @@ class LocalSearcher:
                            stats["total_tokens"]):
             pd_, pt = self.field_stats.get(f, (0, 0))
             self.field_stats[f] = (pd_ + int(d), pt + int(t))
-        self.all_doc_ids = np.sort(np.concatenate([
-            pq.read_table(d, columns=["doc_id"])
-            .column("doc_id").to_numpy()
-            for d in docs_dirs] or
-            [np.empty(0, dtype=np.int64)]))
+        # nested-TYPE indexes: the docs table holds internal child
+        # rows (one per array element, `_nested_parent` = parent key,
+        # key "<parent>#<path>#<pos>" — mapping.prepare_docs).  The
+        # searcher's universe is PARENTS ONLY (children are invisible
+        # to match_all/negation/count, like the Spark engine); per
+        # path it keeps (child_ids sorted, parent doc_id aligned) for
+        # the nested-query child→parent fold, plus a temporarily
+        # swapped universe while a nested inner tree evaluates.
+        self._nested: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self._universe_override: Optional[np.ndarray] = None
+        if self.config.nested_paths and docs_dirs:
+            if jobs is not None:
+                # child rows bucket by their SYNTHETIC key, not their
+                # parent's, so a per-job document shard can split a
+                # parent from its elements — per-shard evaluation
+                # would silently drop nested matches
+                raise ValueError(
+                    "nested-type indexes cannot load a job-restricted "
+                    "shard (children shard independently of parents); "
+                    "use the whole-index LocalSearcher or mode='spark'")
+            key_c = self.config.key_col
+            dtbl = pa.concat_tables([
+                pq.read_table(d, columns=["doc_id", key_c,
+                                          "_nested_parent"])
+                for d in docs_dirs])
+            dids = dtbl.column("doc_id").to_numpy()
+            keys = dtbl.column(key_c).to_pylist()
+            pars = dtbl.column("_nested_parent").to_pylist()
+            is_child = np.array([p is not None for p in pars])
+            self.all_doc_ids = np.sort(dids[~is_child])
+            pkey_to_id = {str(k): int(d)
+                          for k, d, c in zip(keys, dids, is_child)
+                          if not c}
+            for path in self.config.nested_paths:
+                cids, cpar = [], []
+                for k, p, d, c in zip(keys, pars, dids, is_child):
+                    if c and str(k).startswith(f"{p}#{path}#"):
+                        pid = pkey_to_id.get(str(p))
+                        if pid is not None:
+                            cids.append(int(d))
+                            cpar.append(pid)
+                ca = np.asarray(cids, dtype=np.int64)
+                pa_ = np.asarray(cpar, dtype=np.int64)
+                order = np.argsort(ca)
+                self._nested[path] = (ca[order], pa_[order])
+        else:
+            self.all_doc_ids = np.sort(np.concatenate([
+                pq.read_table(d, columns=["doc_id"])
+                .column("doc_id").to_numpy()
+                for d in docs_dirs] or
+                [np.empty(0, dtype=np.int64)]))
         ddirs = layout.deletion_dirs()
         self.deleted: Optional[np.ndarray] = None
         if ddirs:
@@ -252,12 +298,35 @@ class LocalSearcher:
                                analyzers=self.registry,
                                field_types=dict(self.config.field_types),
                                search_analyzers=dict(
-                                   self.config.search_analyzers))
+                                   self.config.search_analyzers),
+                               nested_paths=tuple(
+                                   self.config.nested_paths))
         return dsl.parse(query_json, ctx)
+
+    def _universe(self) -> np.ndarray:
+        """Parent doc ids — or, while a nested inner tree evaluates,
+        the path's child rows (match_all / root negations inside
+        `nested` range over array elements, not parents — the same
+        override the Spark engine swaps in)."""
+        if self._universe_override is not None:
+            return self._universe_override
+        return self.all_doc_ids
+
+    def _parent_gate(self, ids: np.ndarray,
+                     scores: np.ndarray) -> Frame:
+        """Internal child rows must never surface as public results:
+        a flat query on a nested subfield scores child doc_ids, and
+        ES semantics are that it matches nothing (engine.search's
+        parent semi-join)."""
+        if not self.config.nested_paths or ids.size == 0:
+            return ids, scores
+        keep = _in_sorted(ids, self.all_doc_ids)
+        return ids[keep], scores[keep]
 
     def search(self, query_json: dict, size: int = 10,
                from_: int = 0) -> List[Tuple[int, float]]:
         ids, scores = self._materialize(self._score(self.parse(query_json)))
+        ids, scores = self._parent_gate(ids, scores)
         if self.deleted is not None and ids.size:
             live = ~_in_sorted(ids, self.deleted)
             ids, scores = ids[live], scores[live]
@@ -281,7 +350,8 @@ class LocalSearcher:
         if query_json is None:
             ids = self.all_doc_ids
         else:
-            ids, _ = self._materialize(self._score(self.parse(query_json)))
+            ids, s = self._materialize(self._score(self.parse(query_json)))
+            ids, _ = self._parent_gate(ids, s)
         if self.deleted is not None and ids.size:
             ids = ids[~_in_sorted(ids, self.deleted)]
         return int(ids.size)
@@ -400,6 +470,8 @@ class LocalSearcher:
             return ("df", self._prefix(q))
         if isinstance(q, (dsl.Wildcard, dsl.Regexp, dsl.Fuzzy)):
             return ("df", self._selector(q))
+        if isinstance(q, dsl.Nested):
+            return ("df", self._nested_frame(q))
         if isinstance(q, (dsl.Conjunction, dsl.Disjunction,
                           dsl.DisjunctionMax)):
             mode = ("and" if isinstance(q, dsl.Conjunction) else
@@ -419,6 +491,55 @@ class LocalSearcher:
             return scored[1][0]
         return scored[0]            # "all" / "none" sentinel strings
 
+    def _nested_frame(self, q: dsl.Nested) -> Frame:
+        """ES nested query (engine._score_nested mirror): evaluate
+        the inner query over the path's CHILD rows — universe swapped
+        so inner match_all / root negations range over array elements
+        — keep live matched children, fold child scores to parents
+        per score_mode through the preloaded child→parent arrays.
+        A numpy group-by replaces the Spark engine's key join; the
+        output frame is parent-sorted (np.unique)."""
+        kids, kid_parents = self._nested.get(
+            q.path, (np.empty(0, np.int64), np.empty(0, np.int64)))
+        prev = self._universe_override
+        self._universe_override = kids
+        try:
+            if q.score_mode == "none":
+                ds = self._docset(q.query)
+                if isinstance(ds, str):
+                    ids = (kids if ds == "all"
+                           else np.empty(0, np.int64))
+                else:
+                    ids = ds
+                scores = np.zeros(ids.size, dtype=np.float64)
+            else:
+                ids, scores = self._materialize(self._score(q.query))
+        finally:
+            self._universe_override = prev
+        # only this path's children count (a flat term inside the
+        # nested body could score other rows), and deleted children
+        # must not contribute to a surviving parent's score
+        keep = _in_sorted(ids, kids)
+        if self.deleted is not None and ids.size:
+            keep &= ~_in_sorted(ids, self.deleted)
+        ids, scores = ids[keep], scores[keep]
+        if ids.size == 0:
+            return _EMPTY
+        parents = kid_parents[np.searchsorted(kids, ids)]
+        uparents, inv, counts = np.unique(parents, return_inverse=True,
+                                          return_counts=True)
+        if q.score_mode == "none":
+            return uparents, np.zeros(uparents.size, dtype=np.float64)
+        if q.score_mode == "max":
+            out = np.full(uparents.size, -np.inf)
+            np.maximum.at(out, inv, scores)
+        else:
+            out = np.zeros(uparents.size, dtype=np.float64)
+            np.add.at(out, inv, scores)
+            if q.score_mode == "avg":
+                out = out / counts
+        return uparents, out
+
     def _apply(self, scored, dset, anti: bool):
         kind, val = scored
         if kind == "none":
@@ -429,7 +550,7 @@ class LocalSearcher:
                 return scored
             return ("none", None)
         if kind == "all":
-            universe = self.all_doc_ids
+            universe = self._universe()
             keep = (~_in_sorted(universe, dset) if anti
                     else _in_sorted(universe, dset))
             ids = universe[keep]
@@ -461,7 +582,8 @@ class LocalSearcher:
             if consts:
                 cmax = max(consts)
                 out = np.maximum(out, cmax)
-                rest = self.all_doc_ids[~_in_sorted(self.all_doc_ids, uids)]
+                uni = self._universe()
+                rest = uni[~_in_sorted(uni, uids)]
                 uids, out = _merge_sorted_disjoint(
                     uids, out, rest, np.full(rest.size, cmax))
             return ("df", (uids, out))
@@ -476,7 +598,8 @@ class LocalSearcher:
             full = counts == len(frames)
             return ("df", (uids[full], out[full]))
         if consts:          # or-with-All: every doc matches
-            rest = self.all_doc_ids[~_in_sorted(self.all_doc_ids, uids)]
+            uni = self._universe()
+            rest = uni[~_in_sorted(uni, uids)]
             uids, out = _merge_sorted_disjoint(
                 uids, out, rest, np.full(rest.size, float(sum(consts)) / n))
         return ("df", (uids, out))
@@ -487,8 +610,8 @@ class LocalSearcher:
             return val
         if kind == "none":
             return _EMPTY
-        return (self.all_doc_ids,
-                np.full(self.all_doc_ids.size, float(val)))
+        uni = self._universe()
+        return (uni, np.full(uni.size, float(val)))
 
 
 def load_global_dict(index_dir: str

@@ -48,16 +48,6 @@ class StreamingIngester:
         self.n_buckets_per_batch = n_buckets_per_batch
         self.dedup_keys = dedup_keys
         self.upsert = upsert
-        if upsert and self.config.nested_paths:
-            # an upsert whose new version has FEWER array elements
-            # would leave the removed elements' child rows live
-            # (their synthetic keys are absent from the batch, so the
-            # key-level delete never sees them) — refuse rather than
-            # silently corrupt; nested indexes update via
-            # delete-then-reindex
-            raise ValueError(
-                "streaming upsert is not supported for nested-type "
-                "indexes (stale child rows); delete + reindex instead")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         job = STREAM_JOB_BASE + int(batch_id)
@@ -77,11 +67,42 @@ class StreamingIngester:
             # dir from a crashed job must not source delete marks.
             existing = resolve_keys(self.spark, self.layout, self.config,
                                     batch_df.select(key))
-            if existing is not None:
-                existing = existing.select("doc_id").distinct()
-                if not existing.isEmpty():
-                    existing.coalesce(1).write.mode("overwrite").parquet(
-                        self.layout.next_deletion_dir())
+            targets = (existing.select("doc_id").distinct()
+                       if existing is not None else None)
+            if self.config.nested_paths:
+                # cascade to nested child rows: an upsert whose new
+                # version has FEWER array elements would otherwise
+                # leave the removed elements' child rows live (their
+                # synthetic "<parent>#<path>#<pos>" keys are absent
+                # from the batch, so the key-level delete above never
+                # sees them).  ALL committed children of the batch's
+                # parent keys die; the re-indexed batch re-creates
+                # the surviving elements under fresh doc_ids.  Same
+                # `_nested_parent` two-column resolution as
+                # index.delete.delete_documents' cascade.
+                parent_keys = batch_df
+                if "_nested_parent" in batch_df.columns:
+                    parent_keys = batch_df.where(
+                        F.col("_nested_parent").isNull())
+                docs_dirs = self.layout.committed_dirs(
+                    "docs", self.spark)
+                if docs_dirs:
+                    docs = (self.spark.read
+                            .option("basePath",
+                                    self.layout.table("docs"))
+                            .parquet(*docs_dirs))
+                    kids = (docs
+                            .where(F.col("_nested_parent").isNotNull())
+                            .join(parent_keys.select(
+                                F.col(key).cast("string")
+                                .alias("_nested_parent")),
+                                "_nested_parent", "left_semi")
+                            .select("doc_id"))
+                    targets = (kids if targets is None
+                               else targets.unionByName(kids).distinct())
+            if targets is not None and not targets.isEmpty():
+                targets.coalesce(1).write.mode("overwrite").parquet(
+                    self.layout.next_deletion_dir())
         elif self.dedup_keys:
             # first-writer-wins insert: skip keys already indexed
             # (same bucket-pruned sidecar lookup)

@@ -222,13 +222,133 @@ def test_nested_delete_cascades_to_children(spark, nested_type_cluster,
     assert left == {"u2", "u4"}
 
 
-def test_nested_type_rejects_local_serving(spark, nested_type_cluster):
+NESTED_QUERY_BATTERY = [
+    {"nested": {"path": "comments", "query": {"and": [
+        {"term": {"comments.author": "alice"}},
+        {"term": {"comments.stars": 5}}]}}},
+    {"nested": {"path": "comments",
+                "query": {"term": {"comments.stars": 5}}}},
+    {"nested": {"path": "comments", "query": {"match_all": {}}}},
+    {"nested": {"path": "comments",
+                "query": {"not": {"term": {"comments.author": "bob"}}}}},
+    {"not": {"nested": {"path": "comments",
+                        "query": {"term": {"comments.stars": 5}}}}},
+    {"or": [{"term": {"text": "spark"}},
+            {"nested": {"path": "comments",
+                        "query": {"term": {"comments.author": "bob"}}}}]},
+    {"term": {"comments.author": "alice"}},   # flat on nested: nothing
+    {"match_all": {}},
+]
+
+
+def test_nested_local_serving_matches_spark(spark, nested_type_cluster):
+    """The driver-side LocalSearcher evaluates nested queries with
+    the same child-row expansion + parent fold as the Spark engine —
+    (doc_id, score) identical across the battery and all score
+    modes, and child rows stay invisible to count/match_all."""
     from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.query.local import LocalSearcher
     idx = nested_type_cluster._dir("docs")
-    with pytest.raises(ValueError, match="spark"):
-        SearchEngine(spark, idx, mode="local")
+    seng = SearchEngine(spark, idx, mode="spark")
+    ls = LocalSearcher(idx)
+    for q in NESTED_QUERY_BATTERY:
+        want = [(r.doc_id, r.score)
+                for r in seng.search(q, size=10).collect()]
+        got = ls.search(q, size=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12), q
+        assert ls.count(q) == seng.count(q), q
+    for m in ("avg", "sum", "max", "none"):
+        q = {"nested": {"path": "comments",
+                        "query": {"term": {"comments.author": "alice"}},
+                        "score_mode": m}}
+        want = [(r.doc_id, r.score)
+                for r in seng.search(q, size=10).collect()]
+        got = [(d, pytest.approx(s, rel=1e-9, abs=1e-12))
+               for d, s in ls.search(q, size=10)]
+        assert [d for d, _ in got] == [d for d, _ in want], m
+    assert ls.count() == 4
+    # lazy mode: identical through decode-on-demand
+    lz = LocalSearcher(idx, lazy=True)
+    q = NESTED_QUERY_BATTERY[0]
+    assert lz.search(q, size=10) == ls.search(q, size=10)
+
+
+def test_nested_serving_modes(spark, nested_type_cluster):
+    """local/auto serve nested; sharded refuses (children shard by
+    synthetic key, a shard can split a parent from its elements)."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.query.local import LocalSearcher
+    idx = nested_type_cluster._dir("docs")
+    with pytest.raises(ValueError, match="sharded"):
+        SearchEngine(spark, idx, mode="sharded")
+    with pytest.raises(ValueError, match="job-restricted"):
+        LocalSearcher(idx, jobs=[0])
     eng = SearchEngine(spark, idx, mode="auto")
-    assert eng.mode == "spark"
+    assert eng.mode == "local"        # tiny artifact → driver tier
+    q = {"nested": {"path": "comments", "query": {"and": [
+        {"term": {"comments.author": "alice"}},
+        {"term": {"comments.stars": 5}}]}}}
+    assert {r.doc_id for r in eng.search(q, size=10).collect()} == \
+        {r.doc_id for r in
+         SearchEngine(spark, idx, mode="spark").search(q, size=10)
+         .collect()}
+
+
+def test_streaming_upsert_nested_replaces_children(spark, tmp_path):
+    """Upsert on a nested-type index: the new version's elements
+    fully replace the old version's — including SHRINKING the array,
+    the stale-child-row case that used to be refused.  All committed
+    children of the upserted parent are delete-marked; the batch
+    re-creates the survivors."""
+    from rusticsearch_spark.mapping import (mapping_to_config,
+                                            parse_mapping, prepare_docs)
+    from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.streaming.ingest import StreamingIngester
+    fields = parse_mapping(NESTED_MAPPING)
+    cfg = mapping_to_config(fields, key_col="url", n_buckets=4,
+                            tbuckets=2, shuffle_partitions=4)
+    schema = ("url string, text string, comments array<struct<"
+              "author:string, stars:long>>")
+    df0 = spark.createDataFrame(
+        [("u1", "spark engine", [("alice", 5), ("bob", 1)]),
+         ("u2", "table scan", [("carol", 3)])], schema)
+    path = str(tmp_path / "nested_upsert")
+    ing = StreamingIngester(spark, path, cfg, upsert=True)
+    ing.process_batch(prepare_docs(df0, fields, key_col="url"), 0)
+    q_bob = {"nested": {"path": "comments",
+                        "query": {"term": {"comments.author": "bob"}}}}
+    q_alice = {"nested": {"path": "comments", "query": {"and": [
+        {"term": {"comments.author": "alice"}},
+        {"term": {"comments.stars": 5}}]}}}
+    eng = SearchEngine(spark, path)
+    assert eng.count() == 2
+    assert eng.count(q_bob) == 1 and eng.count(q_alice) == 1
+
+    # upsert u1 with a SHRUNK array: bob's comment gone, alice now 2
+    df1 = spark.createDataFrame(
+        [("u1", "spark engine updated", [("alice", 2)])], schema)
+    ing.process_batch(prepare_docs(df1, fields, key_col="url"), 1)
+    eng = SearchEngine(spark, path)
+    assert eng.count() == 2              # replaced, not duplicated
+    assert eng.count(q_bob) == 0         # stale child row is dead
+    assert eng.count(q_alice) == 0       # alice's old 5-star is dead
+    q_alice2 = {"nested": {"path": "comments", "query": {"and": [
+        {"term": {"comments.author": "alice"}},
+        {"term": {"comments.stars": 2}}]}}}
+    assert {h["key"] for h in eng.hits(q_alice2, size=10)} == {"u1"}
+    # untouched parent unaffected
+    q_carol = {"nested": {"path": "comments",
+                          "query": {"term": {"comments.author": "carol"}}}}
+    assert {h["key"] for h in eng.hits(q_carol, size=10)} == {"u2"}
+    # local serving agrees after the upsert
+    from rusticsearch_spark.query.local import LocalSearcher
+    ls = LocalSearcher(path)
+    assert ls.count() == 2
+    assert ls.count(q_bob) == 0
+    assert [d for d, _ in ls.search(q_alice2, size=10)] == \
+        [r.doc_id for r in eng.search(q_alice2, size=10).collect()]
 
 
 def test_prepare_docs_drops_root_struct(spark):
