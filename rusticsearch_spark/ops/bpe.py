@@ -156,6 +156,82 @@ def train_bpe_fast(word_freqs: Dict[str, int], n_merges: int
     return merges
 
 
+def train_bpe_heap(word_freqs: Dict[str, int], n_merges: int
+                   ) -> List[Tuple[str, str]]:
+    """Heap-accelerated BPE trainer — identical output to
+    ``train_bpe_fast`` / ``train_bpe`` (same tie-break: count desc,
+    pair lexicographic asc), but best-pair selection is a LAZY
+    MAX-HEAP instead of a full scan of the pair-count dict per merge
+    (stale heap entries are discarded on pop by comparing against
+    the live count — the standard lazy-deletion pattern).  Per-merge
+    cost drops from O(#pairs) to O(touched · log #heap), which is
+    what makes a 50k-merge vocabulary trainable in seconds; parity
+    with the scan trainer is pytest-pinned."""
+    import heapq
+    words: List[List[str]] = []
+    freqs: List[int] = []
+    for w, f in word_freqs.items():
+        words.append(list(w))
+        freqs.append(f)
+    pair_counts: Dict[Tuple[str, str], int] = {}
+    pair_words: Dict[Tuple[str, str], set] = {}
+    for wi, sym in enumerate(words):
+        f = freqs[wi]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def _bump(p: Tuple[str, str], c: int) -> None:
+        if c > 0:
+            heapq.heappush(heap, (-c, p))
+
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:
+                best = p
+                break
+        if best is None:
+            break
+        merges.append(best)
+        a, b = best
+        touched: Dict[Tuple[str, str], int] = {}
+        for wi in list(pair_words.get(best, ())):
+            sym = words[wi]
+            f = freqs[wi]
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= f
+                touched[p] = 1
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del pair_words[p]
+            out: List[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                touched[p] = 1
+                pair_words.setdefault(p, set()).add(wi)
+        for p in touched:
+            _bump(p, pair_counts.get(p, 0))
+    return merges
+
+
 DEFAULT_MERGES: List[Tuple[str, str]] = train_bpe(SEED_TEXT)
 
 
@@ -325,27 +401,42 @@ def token_count_bpe(df: DataFrame, id_col: str = "doc_id",
 
 
 _MERGES_10K_PATH = __file__.replace("bpe.py", "bpe_merges_10k.txt")
-_MERGES_10K: Optional[List[Tuple[str, str]]] = None
+_MERGES_50K_PATH = __file__.replace("bpe.py", "bpe_merges_50k.txt")
+_MERGES_CACHE: Dict[str, List[Tuple[str, str]]] = {}
 
 
-def load_merges_10k() -> List[Tuple[str, str]]:
-    """The shipped 10,240-merge vocabulary, trained deterministically
-    on the driver-generated documents corpus by
-    scripts/train_bpe_vocab.py (provenance in the file header).  Two
-    symbols per line, space-separated — the public merges.txt shape,
+def load_merges(path: str) -> List[Tuple[str, str]]:
+    """Load a merges.txt-shaped vocabulary (two space-separated
+    symbols per line, rank order, ``#`` comments) — the public shape,
     so any real public vocabulary (e.g. GPT-2's merges, lowercased
-    alnum subset) drops in the same way."""
-    global _MERGES_10K
-    if _MERGES_10K is None:
+    alnum subset) drops in as a file copy."""
+    cached = _MERGES_CACHE.get(path)
+    if cached is None:
         out: List[Tuple[str, str]] = []
-        with open(_MERGES_10K_PATH) as f:
+        with open(path) as f:
             for line in f:
                 if line.startswith("#") or not line.strip():
                     continue
                 a, b = line.rstrip("\n").split(" ", 1)
                 out.append((a, b))
-        _MERGES_10K = out
-    return _MERGES_10K
+        cached = _MERGES_CACHE[path] = out
+    return cached
+
+
+def load_merges_10k() -> List[Tuple[str, str]]:
+    """The shipped 10,240-merge vocabulary, trained deterministically
+    on the driver-generated documents corpus by
+    scripts/train_bpe_vocab.py (provenance in the file header)."""
+    return load_merges(_MERGES_10K_PATH)
+
+
+def load_merges_50k() -> List[Tuple[str, str]]:
+    """The 51,200-merge stress vocabulary (same trainer, 200k-word
+    synthetic corpus) — proves the fast-encoder scale path carries a
+    GPT-2-sized table: candidate-rule pruning makes per-word cost
+    independent of vocabulary size (tests + the bench note in
+    docs/COVERAGE.md)."""
+    return load_merges(_MERGES_50K_PATH)
 
 
 def bpe_token_count_sql_rec(merges: Sequence[Tuple[str, str]],

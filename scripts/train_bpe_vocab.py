@@ -1,16 +1,24 @@
-"""Train the shipped 10k-merge BPE vocabulary.
+"""Train the shipped BPE vocabularies (10k default, 50k stress).
 
-    python scripts/train_bpe_vocab.py [documents.parquet] [n_merges]
+    python scripts/train_bpe_vocab.py [documents.parquet] [n_merges] \
+        [out_path] [n_synth_words]
 
 Deterministic: word frequencies come from the driver-generated
 ``documents.parquet`` (itself seeded), the trainer
-(ops.bpe.train_bpe_fast) is pure, and ties break (count desc, pair
-lexicographic asc).  Writes
-``rusticsearch_spark/ops/bpe_merges_10k.txt`` in the public
+(ops.bpe.train_bpe_heap — lazy-max-heap selection, output identical
+to the classic scan trainer, parity pytest-pinned) is pure, and
+ties break (count desc, pair lexicographic asc).  Writes the public
 merges.txt shape (one "a b" pair per line, rank order) — the same
 format a real public vocabulary ships in, so swapping one in is a
 file copy.  No Spark needed: the corpus word-frequency table is a
 driver-side Counter over a few thousand documents.
+
+The shipped tables:
+    bpe_merges_10k.txt — defaults (n=10240, 30k synth words)
+    bpe_merges_50k.txt — n=51200, 200k synth words (the scale-path
+        stress table: python scripts/train_bpe_vocab.py \
+        /root/testdata/sf0.1/documents.parquet 51200 \
+        rusticsearch_spark/ops/bpe_merges_50k.txt 200000)
 """
 import os
 import re
@@ -22,13 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyarrow.parquet as pq
 
-from rusticsearch_spark.ops.bpe import TOKEN_RE, train_bpe_fast
+from rusticsearch_spark.ops.bpe import TOKEN_RE, train_bpe_heap
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else \
-    "/root/testdata/sf0.1/documents.parquet"
-N = int(sys.argv[2]) if len(sys.argv) > 2 else 10240
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "rusticsearch_spark", "ops", "bpe_merges_10k.txt")
+def _args():
+    src = sys.argv[1] if len(sys.argv) > 1 else \
+        "/root/testdata/sf0.1/documents.parquet"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10240
+    out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "rusticsearch_spark", "ops", "bpe_merges_10k.txt")
+    n_synth = int(sys.argv[4]) if len(sys.argv) > 4 else 30000
+    return src, n, out, n_synth
 
 
 # The driver-generated documents corpus has a ~31-word vocabulary —
@@ -78,6 +90,7 @@ def synth_word_freqs(n_words: int = 30000) -> Counter:
 
 
 def main() -> None:
+    SRC, N, OUT, N_SYNTH = _args()
     t0 = time.time()
     word_re = re.compile(TOKEN_RE)
     freqs: Counter = Counter()
@@ -87,10 +100,10 @@ def main() -> None:
             if t:
                 freqs.update(word_re.findall(t.lower()))
     n_corpus = len(freqs)
-    freqs.update(synth_word_freqs())
+    freqs.update(synth_word_freqs(N_SYNTH))
     print(f"{n_corpus} corpus words + synthetic = {len(freqs)} distinct, "
           f"{sum(freqs.values())} total ({time.time() - t0:.1f}s)")
-    merges = train_bpe_fast(dict(freqs), N)
+    merges = train_bpe_heap(dict(freqs), N)
     with open(OUT, "w") as f:
         f.write(f"# BPE merges trained by scripts/train_bpe_vocab.py\n"
                 f"# source={os.path.basename(os.path.dirname(SRC))}/"

@@ -147,6 +147,44 @@ def test_fast_encoder_matches_replace_chain_reference():
         assert fast == bpe_encode_py(w, merges10k), w
 
 
+def test_heap_trainer_matches_scan_trainer():
+    """train_bpe_heap (lazy-max-heap selection) must emit the exact
+    merge sequence of train_bpe_fast / train_bpe, including the
+    (count desc, pair lexicographic asc) tie order — it is the
+    trainer that makes the 50k stress vocabulary buildable."""
+    import sys
+    from collections import Counter
+    from rusticsearch_spark.ops.bpe import (_words, train_bpe_fast,
+                                            train_bpe_heap)
+    wf = dict(Counter(_words(SEED_TEXT)))
+    assert train_bpe_heap(wf, 60) == train_bpe_fast(wf, 60)
+    sys.path.insert(0, "scripts")
+    from train_bpe_vocab import synth_word_freqs
+    wf2 = dict(synth_word_freqs(600))
+    assert train_bpe_heap(wf2, 400) == train_bpe_fast(wf2, 400)
+
+
+def test_fast_encoder_matches_replace_chain_50k():
+    """The 51,200-merge stress table: the pruned fast encoder must
+    stay byte-identical to the full replace chain (51k sequential
+    replaces per word) — the scale-path exactness claim at a real
+    GPT-2-sized vocabulary."""
+    from rusticsearch_spark.ops.bpe import (ChainIndex, bpe_encode_fast,
+                                            bpe_encode_py,
+                                            load_merges_50k)
+    merges = load_merges_50k()
+    assert len(merges) == 51_200
+    idx = ChainIndex(merges)
+    words = ["the", "prestreaming", "interdependently", "overcounted",
+             "microbenchmark", "transformers", "retokenizers",
+             "unmergeable", "xq9z", "a", "subword", "scaling",
+             "deterministically", "strealk", "chaik"]
+    for w in words:
+        fast = bpe_encode_fast(w, idx)
+        assert "".join(fast) == w
+        assert fast == bpe_encode_py(w, merges), w
+
+
 def test_udf_path_matches_expr_path(spark):
     """token_count_bpe mode='udf' ≡ mode='expr' on the demo vocab
     (same replace-chain semantics through two execution engines)."""
