@@ -189,3 +189,41 @@ def test_trained_centroids_recall_on_planted_clusters(spark):
               ann_topk_ivf(df, q, k=10, centroids=cents,
                            nprobe=2).collect()}
     assert len(exact & approx) / 10 >= 0.9
+
+
+def test_sidecar_recall_floor_on_perturbed_replication(spark):
+    """Small deterministic instance of the scripts/ann_recall.py
+    construction (perturbed-replicated corpus, near-dup queries):
+    probing the IVF sidecar at nprobe=4 of 16 lists must reach
+    recall@10 ≥ 0.9 vs brute force while reading a strict minority
+    of the corpus — the shape behind the docs/SCALE.md curve."""
+    import tempfile
+
+    base = [(i, _vec(i)) for i in range(100)]
+    rows = []
+    for i, v in base:
+        for c in range(40):
+            jit = _vec(100_000 + i * 40 + c)
+            w = [x + 0.15 * j for x, j in zip(v, jit)]
+            n = math.sqrt(sum(x * x for x in w))
+            rows.append((i * 40 + c, [x / n for x in w]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+    n = df.count()
+    cents = train_ivf_centroids(df, k=16, iters=3)
+    out = tempfile.mkdtemp(prefix="vecidx_recall_")
+    build_vec_index(df, out, "ivf", centroids=cents,
+                    shuffle_partitions=8)
+    vi = VecIndex(out)
+    recalls, fracs = [], []
+    for qi in (7, 31, 64):
+        src = dict(rows)[qi * 40 + 3]
+        jit = _vec(900_000 + qi)
+        q = [x + 0.05 * j for x, j in zip(src, jit)]
+        exact = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+        cand = vi.candidates(spark, q, nprobe=4)
+        got = {r.vec_id for r in cosine_topk(cand, q, 10).collect()}
+        recalls.append(len(exact & got) / 10)
+        fracs.append(cand.count() / n)
+    assert sum(recalls) / len(recalls) >= 0.9
+    assert max(fracs) < 0.5          # genuine pruning, not a rescan
