@@ -157,8 +157,18 @@ def assign_doc_ids(docs: DataFrame, key_col: str, n_buckets: int,
     the unit of parallelism, so ``n_buckets`` scales with corpus size
     (2^16+ at trillion-doc scale).  ``bucket_base`` offsets the bucket
     namespace (streaming batches get disjoint namespaces).
+
+    Nested-TYPE child rows (``_nested_parent`` set) bucket by their
+    PARENT's key, not their own synthetic ``parent#path#pos`` key, so
+    a parent and all its element child rows land in the same bucket —
+    hence the same build job — making every per-job document shard
+    parent-complete (the property sharded serving evaluates against).
+    Both branches of the coalesce are string-typed: prepare_docs casts
+    the key column to string whenever nested paths exist.
     """
-    bucket = (F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    basis = (F.coalesce(F.col("_nested_parent"), F.col(key_col))
+             if "_nested_parent" in docs.columns else F.col(key_col))
+    bucket = (F.pmod(F.xxhash64(basis), F.lit(n_buckets))
               + F.lit(bucket_base))
     w = Window.partitionBy("_bucket").orderBy(key_col)
     return (docs
@@ -548,6 +558,11 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         # (checked at engine open — analyzer changes force a reindex)
         from ..analysis import ANALYSIS_VERSION
         config.analysis_version = ANALYSIS_VERSION
+        if config.nested_paths:
+            # assign_doc_ids buckets child rows by their parent's key,
+            # so every job's document shard is parent-complete —
+            # stamp it so the serving tier admits sharded mode
+            config.nested_colocated = True
         layout.write_config(config)
     buckets_per_job = -(-config.n_buckets // jobs)  # ceil
     shuffle_p = (config.shuffle_partitions

@@ -86,6 +86,12 @@ class IndexConfig:
     #: internal (excluded from match_all/negation universes) and
     #: accepts `nested` queries on these paths.
     nested_paths: List[str] = field(default_factory=list)
+    #: True iff the index was built with parent-colocated bucketing
+    #: (child rows bucket by their parent's key, so every per-job
+    #: document shard is parent-complete).  Required for sharded
+    #: serving of nested-type indexes; configs persisted before the
+    #: flag existed default False and keep refusing sharded mode.
+    nested_colocated: bool = False
     #: stamp of the analysis pipeline the index was BUILT with
     #: (analysis.ANALYSIS_VERSION).  The engine refuses to open an
     #: index whose stamp differs from the running code's — an

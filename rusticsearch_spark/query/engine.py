@@ -335,13 +335,16 @@ class SearchEngine:
         if mode not in ("spark", "local", "sharded", "auto"):
             raise ValueError(
                 f"mode must be spark|local|sharded|auto: {mode!r}")
-        if mode == "sharded" and self.config.nested_paths:
-            # child rows bucket by their SYNTHETIC key, not their
-            # parent's, so per-job shards can split a parent from its
-            # elements — per-shard evaluation would drop matches.
-            # (The whole-index LocalSearcher serves nested fine.)
+        if (mode == "sharded" and self.config.nested_paths
+                and not self.config.nested_colocated):
+            # pre-colocation indexes bucketed child rows by their
+            # SYNTHETIC key, so per-job shards can split a parent
+            # from its elements — per-shard evaluation would drop
+            # matches.  Indexes built with parent-keyed bucketing
+            # stamp nested_colocated and serve sharded.
             raise ValueError(
-                "nested-type indexes cannot serve sharded; "
+                "this nested-type index predates parent-colocated "
+                "bucketing and cannot serve sharded; rebuild it, or "
                 "use mode='local', 'auto' or 'spark'")
         if mode == "auto":
             # per-SHARD bytes decide, not whole-index bytes: the
@@ -357,7 +360,8 @@ class SearchEngine:
             if total <= cutoff:
                 mode = "local"
             elif per_job and max(per_job.values()) <= cutoff \
-                    and not self.config.nested_paths:
+                    and (not self.config.nested_paths
+                         or self.config.nested_colocated):
                 mode = "sharded"
             else:
                 mode = "spark"

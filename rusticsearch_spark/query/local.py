@@ -245,15 +245,19 @@ class LocalSearcher:
         self._nested: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self._universe_override: Optional[np.ndarray] = None
         if self.config.nested_paths and docs_dirs:
-            if jobs is not None:
-                # child rows bucket by their SYNTHETIC key, not their
-                # parent's, so a per-job document shard can split a
-                # parent from its elements — per-shard evaluation
-                # would silently drop nested matches
+            if jobs is not None and not self.config.nested_colocated:
+                # pre-colocation indexes bucketed child rows by their
+                # SYNTHETIC key, so a per-job document shard can split
+                # a parent from its elements — per-shard evaluation
+                # would silently drop nested matches.  Indexes built
+                # with parent-keyed bucketing stamp nested_colocated
+                # and serve sharded (parent + all children share a
+                # job; the pid-None safety skip below never fires).
                 raise ValueError(
-                    "nested-type indexes cannot load a job-restricted "
-                    "shard (children shard independently of parents); "
-                    "use the whole-index LocalSearcher or mode='spark'")
+                    "this nested-type index predates parent-colocated "
+                    "bucketing; rebuild it to serve job-restricted "
+                    "shards, or use the whole-index LocalSearcher / "
+                    "mode='spark'")
             key_c = self.config.key_col
             dtbl = pa.concat_tables([
                 pq.read_table(d, columns=["doc_id", key_c,

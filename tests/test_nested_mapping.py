@@ -275,25 +275,144 @@ def test_nested_local_serving_matches_spark(spark, nested_type_cluster):
     assert lz.search(q, size=10) == ls.search(q, size=10)
 
 
-def test_nested_serving_modes(spark, nested_type_cluster):
-    """local/auto serve nested; sharded refuses (children shard by
-    synthetic key, a shard can split a parent from its elements)."""
+def test_nested_serving_modes(spark, nested_type_cluster, tmp_path):
+    """local/auto/sharded all serve freshly-built nested indexes
+    (parent-colocated bucketing stamps nested_colocated); an index
+    whose config predates the flag still refuses sharded — its
+    children may shard away from their parents."""
+    import shutil
+
+    from rusticsearch_spark.index.layout import IndexLayout
     from rusticsearch_spark.query.engine import SearchEngine
     from rusticsearch_spark.query.local import LocalSearcher
     idx = nested_type_cluster._dir("docs")
-    with pytest.raises(ValueError, match="sharded"):
-        SearchEngine(spark, idx, mode="sharded")
-    with pytest.raises(ValueError, match="job-restricted"):
-        LocalSearcher(idx, jobs=[0])
+    assert IndexLayout(idx).read_config().nested_colocated
     eng = SearchEngine(spark, idx, mode="auto")
     assert eng.mode == "local"        # tiny artifact → driver tier
     q = {"nested": {"path": "comments", "query": {"and": [
         {"term": {"comments.author": "alice"}},
         {"term": {"comments.stars": 5}}]}}}
-    assert {r.doc_id for r in eng.search(q, size=10).collect()} == \
-        {r.doc_id for r in
-         SearchEngine(spark, idx, mode="spark").search(q, size=10)
-         .collect()}
+    want = {r.doc_id for r in
+            SearchEngine(spark, idx, mode="spark").search(q, size=10)
+            .collect()}
+    assert {r.doc_id for r in eng.search(q, size=10).collect()} == want
+    sh = SearchEngine(spark, idx, mode="sharded")
+    assert {r.doc_id for r in sh.search(q, size=10).collect()} == want
+    # legacy config (no colocation stamp) keeps the refusal
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(idx, legacy)
+    lay = IndexLayout(legacy)
+    cfg = lay.read_config()
+    cfg.nested_colocated = False
+    lay.write_config(cfg)
+    with pytest.raises(ValueError, match="predates"):
+        SearchEngine(spark, legacy, mode="sharded")
+    with pytest.raises(ValueError, match="predates"):
+        LocalSearcher(legacy, jobs=[0])
+    assert SearchEngine(spark, legacy, mode="auto").mode == "local"
+
+
+@pytest.fixture(scope="module")
+def nested_multijob_index(spark, tmp_path_factory):
+    """A 3-job nested-TYPE index: the shard unit for serving.  Parent
+    keys hash across 6 buckets / 3 jobs; child rows must follow their
+    parent's bucket (build.assign_doc_ids parent-keyed basis)."""
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.mapping import (mapping_to_config,
+                                            parse_mapping, prepare_docs)
+    rows = [(f"u{i}", f"doc {i} spark table scan merge join"[:40],
+             [(a, s) for a, s in
+              [("alice", 5), ("bob", 1), ("carol", 3),
+               ("dave", 5), ("erin", 2)][:(i % 5) + (0 if i % 7 else 1)]])
+            for i in range(1, 25)]
+    df = spark.createDataFrame(
+        rows, "url string, text string, comments array<struct<"
+              "author:string, stars:long>>")
+    fields = parse_mapping(NESTED_MAPPING)
+    cfg = mapping_to_config(fields, key_col="url", n_buckets=6,
+                            tbuckets=2, shuffle_partitions=4)
+    path = str(tmp_path_factory.mktemp("nmulti") / "idx")
+    build_index(spark, prepare_docs(df, fields, key_col="url"), path,
+                cfg, jobs=3)
+    return path
+
+
+def test_nested_shards_are_parent_complete(nested_multijob_index):
+    """Structural invariant behind sharded nested serving: every
+    child row's parent lives in the SAME job's document shard."""
+    import pyarrow.parquet as pq
+
+    from rusticsearch_spark.index.layout import IndexLayout
+    lay = IndexLayout(nested_multijob_index)
+    assert lay.read_config().nested_colocated
+    jobs = lay.completed_jobs_local()
+    assert len(jobs) == 3
+    jobs_with_children = 0
+    for j in jobs:
+        t = pq.read_table(lay.job_dir("docs", j),
+                          columns=["url", "_nested_parent"])
+        keys = set(t.column("url").to_pylist())
+        parents = {p for p in t.column("_nested_parent").to_pylist()
+                   if p is not None}
+        assert parents <= keys, f"job {j}: orphaned children"
+        jobs_with_children += bool(parents)
+    assert jobs_with_children >= 2     # children actually spread
+
+
+def test_nested_sharded_matches_local_and_spark(spark,
+                                                nested_multijob_index):
+    """ShardedSearcher on a nested index: per-shard child→parent fold
+    + global top-k merge == whole-index LocalSearcher == Spark
+    engine, across the battery, score modes, counts, and lazy."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.query.local import (LocalSearcher,
+                                                ShardedSearcher)
+    idx = nested_multijob_index
+    seng = SearchEngine(spark, idx, mode="spark")
+    whole = LocalSearcher(idx)
+    sharded = ShardedSearcher(idx)
+    assert len(sharded.shards) == 3
+    modes = [{"nested": {"path": "comments",
+                         "query": {"term": {"comments.author": "alice"}},
+                         "score_mode": m}}
+             for m in ("avg", "sum", "max", "none")]
+    for q in NESTED_QUERY_BATTERY + modes:
+        want = [(r.doc_id, r.score)
+                for r in seng.search(q, size=30).collect()]
+        for got in (whole.search(q, size=30), sharded.search(q, size=30)):
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12), q
+        assert whole.count(q) == sharded.count(q) == seng.count(q), q
+    assert whole.count() == sharded.count() == seng.count() == 24
+    # lazy sharded: identical through decode-on-demand
+    lz = ShardedSearcher(idx, lazy=True)
+    q = NESTED_QUERY_BATTERY[0]
+    assert lz.search(q, size=30) == sharded.search(q, size=30)
+
+
+def test_nested_auto_mode_picks_sharded(spark, nested_multijob_index,
+                                        monkeypatch):
+    """auto mode admits sharded for colocated nested indexes: whole
+    index over the cutoff, every shard under it → sharded."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    from rusticsearch_spark.query.local import ShardedSearcher
+    probe = SearchEngine(spark, nested_multijob_index, mode="spark")
+    per_job = probe._postings_bytes_per_job()
+    cutoff = max(per_job.values()) + 1
+    assert sum(per_job.values()) > cutoff
+    monkeypatch.setattr(SearchEngine, "LOCAL_MAX_BYTES", cutoff)
+    eng = SearchEngine(spark, nested_multijob_index, mode="auto")
+    assert eng.mode == "sharded"
+    assert isinstance(eng._local, ShardedSearcher)
+    q = {"nested": {"path": "comments", "query": {"and": [
+        {"term": {"comments.author": "alice"}},
+        {"term": {"comments.stars": 5}}]}}}
+    a = [(r.doc_id, round(r.score, 5)) for r in
+         eng.search(q, size=30).collect()]
+    b = [(r.doc_id, round(r.score, 5)) for r in
+         probe.search(q, size=30).collect()]
+    assert a == b and len(a) > 0
 
 
 def test_streaming_upsert_nested_replaces_children(spark, tmp_path):
