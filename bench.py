@@ -22,6 +22,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scripts"))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -45,6 +47,22 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # Stamp the recording window (VERDICT r5 #5): this host's capacity
+    # swings ±2× across sessions, so every snapshot carries pre/post
+    # host-probe readings — a degraded stamp tells the reader which
+    # lanes to distrust (numpy fresh-alloc paths; the JVM build is
+    # measured insensitive to the memory-collapse mode,
+    # BENCH/APPENDIX_r6_buildwall.md).  SPARK_GRAFT_WAIT_QUIET=<sec>
+    # optionally polls up to that budget for a quiet window first.
+    from host_probe import probe
+    probe_pre = probe()
+    wait_budget = float(os.environ.get("SPARK_GRAFT_WAIT_QUIET", "0"))
+    waited = 0.0
+    while probe_pre["health"] != "quiet" and waited < wait_budget:
+        time.sleep(min(30.0, wait_budget - waited))
+        waited += 30.0
+        probe_pre = probe()
+
     from pyspark.sql import SparkSession
 
     from rusticsearch_spark.index.build import build_index
@@ -213,6 +231,8 @@ def main() -> None:
         "serving_local_queries": local_lat,
         "serving_local_p50_sec": local_p50,
         "serving_local_p95_sec": local_p95,
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe(),
     }))
     spark.stop()
 
