@@ -158,16 +158,23 @@ def assign_doc_ids(docs: DataFrame, key_col: str, n_buckets: int,
     (2^16+ at trillion-doc scale).  ``bucket_base`` offsets the bucket
     namespace (streaming batches get disjoint namespaces).
 
-    Nested-TYPE child rows (``_nested_parent`` set) bucket by their
-    PARENT's key, not their own synthetic ``parent#path#pos`` key, so
-    a parent and all its element child rows land in the same bucket —
-    hence the same build job — making every per-job document shard
-    parent-complete (the property sharded serving evaluates against).
-    Both branches of the coalesce are string-typed: prepare_docs casts
-    the key column to string whenever nested paths exist.
+    Nested-TYPE child rows bucket by their ROOT document's key
+    (``_nested_root``, mapping.prepare_docs), not their own synthetic
+    ``parent#path#pos`` key, so a document and its ENTIRE descendant
+    chain land in the same bucket — hence the same build job — making
+    every per-job document shard parent-complete at every nesting
+    level (the property sharded serving evaluates against).  The
+    ``_nested_parent`` fallback covers frames prepared before
+    multi-level support (where parent == root).  All branches of the
+    coalesce are string-typed: prepare_docs casts the key column to
+    string whenever nested paths exist.
     """
-    basis = (F.coalesce(F.col("_nested_parent"), F.col(key_col))
-             if "_nested_parent" in docs.columns else F.col(key_col))
+    if "_nested_root" in docs.columns:
+        basis = F.coalesce(F.col("_nested_root"), F.col(key_col))
+    elif "_nested_parent" in docs.columns:
+        basis = F.coalesce(F.col("_nested_parent"), F.col(key_col))
+    else:
+        basis = F.col(key_col)
     bucket = (F.pmod(F.xxhash64(basis), F.lit(n_buckets))
               + F.lit(bucket_base))
     w = Window.partitionBy("_bucket").orderBy(key_col)

@@ -68,11 +68,15 @@ def delete_documents(spark: SparkSession, index_dir: str,
                 docs = (spark.read
                         .option("basePath", layout.table("docs"))
                         .parquet(*docs_dirs))
+                # _nested_root reaches EVERY descendant level in one
+                # semi-join; pre-multilevel indexes only stored
+                # _nested_parent (equal to the root at depth 1)
+                rc = ("_nested_root" if "_nested_root" in docs.columns
+                      else "_nested_parent")
                 kids = (docs.where(F.col("_nested_parent").isNotNull())
                         .join(keys_df.select(
-                            F.col(config.key_col)
-                            .alias("_nested_parent")),
-                            "_nested_parent", "left_semi")
+                            F.col(config.key_col).alias(rc)),
+                            rc, "left_semi")
                         .select("doc_id"))
                 target = target.unionByName(kids)
     elif doc_ids is not None:
@@ -89,13 +93,14 @@ def delete_documents(spark: SparkSession, index_dir: str,
                 docs = (spark.read
                         .option("basePath", layout.table("docs"))
                         .parquet(*docs_dirs))
+                rc = ("_nested_root" if "_nested_root" in docs.columns
+                      else "_nested_parent")
                 pkeys = (docs.join(target, "doc_id", "left_semi")
                          .where(F.col("_nested_parent").isNull())
                          .select(F.col(config.key_col)
-                                 .cast("string")
-                                 .alias("_nested_parent")))
+                                 .cast("string").alias(rc)))
                 kids = (docs.where(F.col("_nested_parent").isNotNull())
-                        .join(pkeys, "_nested_parent", "left_semi")
+                        .join(pkeys, rc, "left_semi")
                         .select("doc_id"))
                 target = target.unionByName(kids)
     target = target.distinct()

@@ -57,6 +57,11 @@ class FieldMapping:
     #: path whose elements index as child documents (prepare_docs
     #: explodes them; the engine's `nested` query joins them back)
     nested_path: Optional[str] = None
+    #: every nested-TYPE ancestor path, outermost first, ending at
+    #: ``nested_path`` — e.g. ("a", "a.b") for field "a.b.c".  Keeps
+    #: INTERMEDIATE nested levels visible to mapping_to_config even
+    #: when a level declares no direct (non-nested) subfields.
+    nested_chain: tuple = ()
 
     @property
     def is_analyzed(self) -> bool:
@@ -99,18 +104,18 @@ def parse_mapping(mapping_json: dict,
         if spec.get("type") == "nested":
             # ES nested TYPE: array elements become child documents
             # with independent matching (the feature the reference's
-            # document.rs:87-89 TODO stops short of).  One level only.
-            if _prefix:
-                raise MappingParseError(
-                    f"field {name!r}: nested-in-object / nested-in-"
-                    "nested mappings are not supported")
+            # document.rs:87-89 TODO stops short of).  Nested may
+            # appear under objects and under other nested types; the
+            # chain of nested ancestors rides on every subfield.
             if "properties" not in spec or not spec["properties"]:
                 raise MappingParseError(
                     f"field {name!r}: nested type needs 'properties'")
             subs = parse_mapping(spec, default_analyzer,
                                  _prefix=name + ".")
             for s in subs:
-                s.nested_path = name
+                if s.nested_path is None:
+                    s.nested_path = name
+                s.nested_chain = (name,) + tuple(s.nested_chain)
                 # nested text stays out of the parent's _all (child
                 # docs are separate rows; joining them into the
                 # parent _all would cross the element boundary the
@@ -179,11 +184,18 @@ def mapping_to_config(fields: List[FieldMapping], key_col: str,
     if with_all and any(f.include_in_all for f in fields):
         cfg_fields["_all"] = "standard"
     stored = [f.name for f in fields if f.store]
-    nested_paths = sorted({f.nested_path for f in fields
-                           if f.nested_path})
+    # every nested level, INCLUDING intermediates that declare no
+    # direct subfields (the chain carries them; nested_path alone
+    # would lose "a" in {"a": nested {"b": nested {...}}})
+    nested_paths = sorted(
+        {p for f in fields
+         for p in (f.nested_chain
+                   or ((f.nested_path,) if f.nested_path else ()))})
     if nested_paths:
-        # child→parent mapping column, stored (never indexed)
-        stored = stored + ["_nested_parent"]
+        # child→parent and child→root mapping columns, stored (never
+        # indexed).  _nested_root buckets all of a document's levels
+        # into one build job and drives root-level delete cascades.
+        stored = stored + ["_nested_parent", "_nested_root"]
     return IndexConfig(key_col=key_col, fields=cfg_fields,
                        field_types=field_types,
                        search_analyzers=search_analyzers, stored=stored,
@@ -226,8 +238,10 @@ def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
       One distributed posexplode, no per-row Python.
     """
     from .index.layout import qname
-    nested_paths = sorted({f.nested_path for f in fields
-                           if f.nested_path})
+    nested_paths = sorted(
+        {p for f in fields
+         for p in (f.nested_chain
+                   or ((f.nested_path,) if f.nested_path else ()))})
     if nested_paths and key_col is None:
         raise MappingParseError(
             "nested-type mappings require key_col at prepare_docs")
@@ -242,24 +256,51 @@ def prepare_docs(docs: DataFrame, fields: List[FieldMapping],
     for r in sorted(roots):
         out = out.drop(r)
     if nested_paths:
+        from .nested import by_depth, nested_parent_path
         out = out.withColumn(key_col, F.col(qname(key_col))
                              .cast("string"))
-        children: List[DataFrame] = []
-        for path in nested_paths:
+        # shallow→deep: a deeper path explodes from its PARENT's
+        # child frame (its array column was carried through as the
+        # literally-dotted element subcolumn)
+        frames: Dict[str, DataFrame] = {}
+        for path in by_depth(nested_paths):
+            par = nested_parent_path(path, nested_paths)
+            deeper = [q for q in nested_paths
+                      if nested_parent_path(q, nested_paths) == path]
             subs = [f for f in fields if f.nested_path == path]
-            kids = docs.select(
-                F.col(qname(key_col)).cast("string").alias("_pk"),
-                F.posexplode(F.col(path)).alias("_pos", "_el"))
-            children.append(kids.select(
+            if par is None:
+                src, arr = docs, F.col(path)
+                pk = F.col(qname(key_col)).cast("string")
+                root = pk
+            else:
+                src, arr = frames[par], F.col(qname(path))
+                pk = F.col(qname(key_col))
+                root = F.col("_nested_root")
+            kids = src.select(pk.alias("_pk"), root.alias("_root"),
+                              F.posexplode(arr).alias("_pos", "_el"))
+            frames[path] = kids.select(
                 F.concat(F.col("_pk"), F.lit(f"#{path}#"),
                          F.col("_pos").cast("string")).alias(key_col),
                 F.col("_pk").alias("_nested_parent"),
-                *[F.col(f"_el.{s.name.split('.', 1)[1]}")
-                  .alias(s.name) for s in subs]))
-        out = out.drop(*nested_paths).withColumn(
-            "_nested_parent", F.lit(None).cast("string"))
-        for ch in children:
-            out = out.unionByName(ch, allowMissingColumns=True)
+                F.col("_root").alias("_nested_root"),
+                *[F.col(f"_el.{s.name[len(path) + 1:]}")
+                  .alias(s.name) for s in subs],
+                # carry each child path's array for ITS explode
+                *[F.col(f"_el.{q[len(path) + 1:]}").alias(q)
+                  for q in deeper])
+        # parents: drop the root COMPONENT of each top-level nested
+        # path ("a" for "a", "o" for object-housed "o.a" — its plain
+        # subfields were already flattened to literal dotted columns)
+        root_drops = {p.split(".", 1)[0] for p in nested_paths
+                      if nested_parent_path(p, nested_paths) is None}
+        out = (out.drop(*sorted(root_drops))
+               .withColumn("_nested_parent", F.lit(None).cast("string"))
+               .withColumn("_nested_root", F.lit(None).cast("string")))
+        for path in by_depth(nested_paths):
+            deeper = [q for q in nested_paths
+                      if nested_parent_path(q, nested_paths) == path]
+            out = out.unionByName(frames[path].drop(*deeper),
+                                  allowMissingColumns=True)
     for f in fields:
         c = F.col(qname(f.name))
         if f.type == "boolean":

@@ -371,8 +371,11 @@ class SearchEngine:
         self.mode = mode
         # temporarily swapped to the child-row universe while a nested
         # query's inner tree evaluates (match_all / root negations
-        # inside `nested` must range over array elements, not parents)
+        # inside `nested` must range over array elements, not parents);
+        # _nested_context tracks WHICH level that universe is — the
+        # fold target of any nested query inside the inner tree
         self._universe_override: Optional[DataFrame] = None
+        self._nested_context: Optional[str] = None
         self._local = None
         if mode == "local":
             from .local import LocalSearcher
@@ -1078,8 +1081,19 @@ class SearchEngine:
         key, and the parent side is the docs table's two-column
         projection, not the corpus."""
         from ..index.layout import qname
+        from ..nested import nested_parent_path
         if q.path not in self.config.nested_paths:
             raise dsl.QueryParseError(f"unknown nested path: {q.path!r}")
+        # the fold TARGET is the enclosing evaluation level: root for
+        # a top-level nested query, the outer path's child rows for a
+        # nested query inside another nested query's inner tree (ES
+        # block-join semantics: one score_mode application grouping
+        # ALL q.path descendants under each target-level ancestor)
+        ctxp = self._nested_context
+        if ctxp is not None and not q.path.startswith(ctxp + "."):
+            raise dsl.QueryParseError(
+                f"nested path {q.path!r} is not a descendant of the "
+                f"enclosing nested path {ctxp!r}")
         # children OF THIS PATH only: child keys are
         # "<parent>#<path>#<pos>" (mapping.prepare_docs), so the
         # startswith test against the stored parent key is exact —
@@ -1092,8 +1106,9 @@ class SearchEngine:
             & kq.startswith(F.concat(F.col("_nested_parent"),
                                      F.lit(f"#{q.path}#"))))
             .select("doc_id", "_nested_parent"))
-        prev = self._universe_override
+        prev, prev_ctx = self._universe_override, self._nested_context
         self._universe_override = pmap.select("doc_id")
+        self._nested_context = q.path
         try:
             if not needs_score or q.score_mode == "none":
                 ds = self._docset(q.query)
@@ -1110,20 +1125,35 @@ class SearchEngine:
                 child = self._materialize(self._score(q.query))
         finally:
             self._universe_override = prev
+            self._nested_context = prev_ctx
         child = self._live(child)
-        matched = child.join(pmap, "doc_id")
+        # ancestor walk: _anc starts at the immediate parent key and
+        # hops up one nested level per join until it sits at the
+        # target level.  Each hop is a two-column docs projection
+        # keyed on the (narrow) child key — hash-partitionable at
+        # scale, depth-bounded by the mapping, usually zero hops.
+        matched = child.join(pmap, "doc_id") \
+            .withColumnRenamed("_nested_parent", "_anc")
+        lvl = nested_parent_path(q.path, self.config.nested_paths)
+        while lvl != ctxp:
+            hop = self.docs.select(
+                kq.alias("_anc"),
+                F.col("_nested_parent").alias("_anc_up"))
+            matched = (matched.join(hop, "_anc").drop("_anc")
+                       .withColumnRenamed("_anc_up", "_anc"))
+            lvl = nested_parent_path(lvl, self.config.nested_paths)
         if not needs_score or q.score_mode == "none":
-            scored = (matched.select("_nested_parent").distinct()
+            scored = (matched.select("_anc").distinct()
                       .withColumn("score", F.lit(0.0)))
         else:
             aggf = {"avg": F.avg, "sum": F.sum, "max": F.max}[q.score_mode]
-            scored = (matched.groupBy("_nested_parent")
+            scored = (matched.groupBy("_anc")
                       .agg(aggf("score").alias("score")))
-        parents = (self.docs.where(F.col("_nested_parent").isNull())
-                   .select(F.col(qname(self.config.key_col))
-                           .cast("string").alias("_nested_parent"),
-                           "doc_id"))
-        return scored.join(parents, "_nested_parent") \
+        targets = self.docs
+        if ctxp is None:
+            targets = targets.where(F.col("_nested_parent").isNull())
+        targets = targets.select(kq.alias("_anc"), "doc_id")
+        return scored.join(targets, "_anc") \
             .select("doc_id", "score")
 
     # ---------------------------------------------------------------

@@ -244,6 +244,7 @@ class LocalSearcher:
         # swapped universe while a nested inner tree evaluates.
         self._nested: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self._universe_override: Optional[np.ndarray] = None
+        self._nested_context: Optional[str] = None
         if self.config.nested_paths and docs_dirs:
             if jobs is not None and not self.config.nested_colocated:
                 # pre-colocation indexes bucketed child rows by their
@@ -268,9 +269,9 @@ class LocalSearcher:
             pars = dtbl.column("_nested_parent").to_pylist()
             is_child = np.array([p is not None for p in pars])
             self.all_doc_ids = np.sort(dids[~is_child])
-            pkey_to_id = {str(k): int(d)
-                          for k, d, c in zip(keys, dids, is_child)
-                          if not c}
+            # ALL rows, not just roots: with multi-level nesting a
+            # child row is itself the parent of deeper child rows
+            pkey_to_id = {str(k): int(d) for k, d in zip(keys, dids)}
             for path in self.config.nested_paths:
                 cids, cpar = [], []
                 for k, p, d, c in zip(keys, pars, dids, is_child):
@@ -503,10 +504,17 @@ class LocalSearcher:
         per score_mode through the preloaded child→parent arrays.
         A numpy group-by replaces the Spark engine's key join; the
         output frame is parent-sorted (np.unique)."""
+        from ..nested import nested_parent_path as _npp
+        ctxp = self._nested_context
+        if ctxp is not None and not q.path.startswith(ctxp + "."):
+            raise dsl.QueryParseError(
+                f"nested path {q.path!r} is not a descendant of the "
+                f"enclosing nested path {ctxp!r}")
         kids, kid_parents = self._nested.get(
             q.path, (np.empty(0, np.int64), np.empty(0, np.int64)))
-        prev = self._universe_override
+        prev, prev_ctx = self._universe_override, self._nested_context
         self._universe_override = kids
+        self._nested_context = q.path
         try:
             if q.score_mode == "none":
                 ds = self._docset(q.query)
@@ -520,6 +528,7 @@ class LocalSearcher:
                 ids, scores = self._materialize(self._score(q.query))
         finally:
             self._universe_override = prev
+            self._nested_context = prev_ctx
         # only this path's children count (a flat term inside the
         # nested body could score other rows), and deleted children
         # must not contribute to a surviving parent's score
@@ -529,7 +538,15 @@ class LocalSearcher:
         ids, scores = ids[keep], scores[keep]
         if ids.size == 0:
             return _EMPTY
+        # walk ancestors up to the enclosing level, THEN group once —
+        # one score_mode application over all q.path descendants of
+        # each target-level ancestor (ES block-join semantics)
         parents = kid_parents[np.searchsorted(kids, ids)]
+        lvl = _npp(q.path, self.config.nested_paths)
+        while lvl != ctxp:
+            lk, lp = self._nested[lvl]
+            parents = lp[np.searchsorted(lk, parents)]
+            lvl = _npp(lvl, self.config.nested_paths)
         uparents, inv, counts = np.unique(parents, return_inverse=True,
                                           return_counts=True)
         if q.score_mode == "none":

@@ -95,12 +95,16 @@ class StreamingIngester:
                             .option("basePath",
                                     self.layout.table("docs"))
                             .parquet(*docs_dirs))
+                    # _nested_root reaches every descendant level in
+                    # one semi-join (pre-multilevel indexes stored
+                    # only _nested_parent = root at depth 1)
+                    rc = ("_nested_root" if "_nested_root"
+                          in docs.columns else "_nested_parent")
                     kids = (docs
                             .where(F.col("_nested_parent").isNotNull())
                             .join(parent_keys.select(
-                                F.col(key).cast("string")
-                                .alias("_nested_parent")),
-                                "_nested_parent", "left_semi")
+                                F.col(key).cast("string").alias(rc)),
+                                rc, "left_semi")
                             .select("doc_id"))
                     targets = (kids if targets is None
                                else targets.unionByName(kids).distinct())

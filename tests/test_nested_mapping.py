@@ -49,9 +49,11 @@ def test_nested_type_parse_and_errors():
     assert not fields[0].include_in_all
     with pytest.raises(MappingParseError, match="needs 'properties'"):
         parse_mapping({"properties": {"a": {"type": "nested"}}})
-    with pytest.raises(MappingParseError, match="nested-in-object"):
-        parse_mapping({"properties": {"o": {"properties": {
-            "a": {"type": "nested", "properties": {"b": {}}}}}}})
+    # nested-in-object parses since round 6 (multi-level support);
+    # the path is the dotted location
+    oa = parse_mapping({"properties": {"o": {"properties": {
+        "a": {"type": "nested", "properties": {"b": {}}}}}}})
+    assert oa[0].name == "o.a.b" and oa[0].nested_path == "o.a"
     with pytest.raises(MappingParseError, match="object type"):
         parse_mapping({"properties": {
             "a": {"type": "string", "properties": {"b": {}}}}})
