@@ -487,6 +487,130 @@ SELECT (SELECT count(*) FROM documents
 """
 
 
+_nested_deep_engines: Dict[str, SearchEngine] = {}
+
+
+def _nested_deep_engine(spark, sf_dir) -> SearchEngine:
+    """Engine over a TWO-LEVEL nested index (nested-in-nested —
+    beyond the reference's document.rs:87-89 TODO at any depth).
+    Documents get a synthesized ``posts:
+    array<struct<topic, comments: array<struct<author, flag>>>>``:
+
+    * post A — topic = source, comments [(lang,'x'), ('deep','y')]
+    * post B — topic = 'src3' ALWAYS, comments [('deep','x')]
+
+    The two-level query {topic='src3' AND one of ITS OWN comments =
+    ('deep','y')} matches exactly source='src3' docs: post A carries
+    ('deep','y') but only src3 docs give it the topic; post B always
+    has the topic but its only comment fails flag='y'.  Flattened
+    (cross-level) semantics would match EVERY document — post B
+    supplies the topic, post A the comment."""
+    key = os.path.normpath(sf_dir)
+    eng = _nested_deep_engines.get(key)
+    if eng is None:
+        from .mapping import (mapping_to_config, parse_mapping,
+                              prepare_docs)
+        idx_dir = os.path.join(_CACHE_ROOT, os.path.basename(key),
+                               "nested_deep_idx")
+        layout = IndexLayout(idx_dir)
+        try:
+            ok = bool(layout.completed_jobs(spark))
+        except Exception:
+            ok = False
+        if not ok:
+            fields = parse_mapping({"properties": {"posts": {
+                "type": "nested", "properties": {
+                    "topic": {"type": "string",
+                              "index": "not_analyzed"},
+                    "comments": {"type": "nested", "properties": {
+                        "author": {"type": "string",
+                                   "index": "not_analyzed"},
+                        "flag": {"type": "string",
+                                 "index": "not_analyzed"}}}}}}})
+            docs = (_docs(spark, sf_dir)
+                    .withColumnRenamed("doc_id", "src_doc_id")
+                    .withColumn("posts", F.array(
+                        F.struct(
+                            F.col("source").alias("topic"),
+                            F.array(
+                                F.struct(F.col("lang").alias("author"),
+                                         F.lit("x").alias("flag")),
+                                F.struct(F.lit("deep").alias("author"),
+                                         F.lit("y").alias("flag")))
+                            .alias("comments")),
+                        F.struct(
+                            F.lit("src3").alias("topic"),
+                            F.array(F.struct(
+                                F.lit("deep").alias("author"),
+                                F.lit("x").alias("flag")))
+                            .alias("comments")))))
+            prepared = prepare_docs(
+                docs.select("src_doc_id", "posts"), fields,
+                with_all=False, key_col="src_doc_id")
+            build_index(spark, prepared, idx_dir, mapping_to_config(
+                fields, key_col="src_doc_id", with_all=False,
+                n_buckets=8, tbuckets=4), jobs=1)
+        eng = SearchEngine(spark, idx_dir, precision="f64")
+        _nested_deep_engines[key] = eng
+    return eng
+
+
+_NESTED_DEEP = {"nested": {"path": "posts", "score_mode": "none",
+                           "query": {"and": [
+    {"term": {"posts.topic": "src3"}},
+    {"nested": {"path": "posts.comments", "score_mode": "none",
+                "query": {"and": [
+        {"term": {"posts.comments.author": "deep"}},
+        {"term": {"posts.comments.flag": "y"}}]}}}]}}}
+
+
+def q_fts_nested_deep(spark, sf_dir):
+    """Two-level nested matching: the inner nested folds to the
+    OUTER post level (not the root), so the comment must live in the
+    same post that carries the topic."""
+    eng = _nested_deep_engine(spark, sf_dir)
+    frame = eng._docset(eng.parse(_NESTED_DEEP))
+    return (frame.join(eng.docs.select("doc_id", "src_doc_id"), "doc_id")
+            .select(F.col("src_doc_id").cast("long").alias("doc_id")))
+
+
+def sql_fts_nested_deep():
+    return """
+SELECT doc_id FROM documents WHERE source = 'src3'
+"""
+
+
+def q_fts_nested_deep_vs_flat(spark, sf_dir):
+    """The depth-2 semantics proof: the same three conditions as
+    independent single-level nested queries (cross-LEVEL matching)
+    hit every document; the two-level query only source='src3'."""
+    eng = _nested_deep_engine(spark, sf_dir)
+    flat_q = {"and": [
+        {"nested": {"path": "posts", "score_mode": "none",
+                    "query": {"term": {"posts.topic": "src3"}}}},
+        {"nested": {"path": "posts.comments", "score_mode": "none",
+                    "query": {"term": {"posts.comments.author":
+                                       "deep"}}}},
+        {"nested": {"path": "posts.comments", "score_mode": "none",
+                    "query": {"term": {"posts.comments.flag": "y"}}}}]}
+    n_deep = eng.count(_NESTED_DEEP)
+    n_flat = eng.count(flat_q)
+    return spark.createDataFrame(
+        [(n_deep, n_flat, n_flat > n_deep)],
+        "n_deep long, n_flat long, flat_overmatches boolean")
+
+
+def sql_fts_nested_deep_vs_flat():
+    return """
+SELECT (SELECT count(*) FROM documents
+        WHERE source = 'src3')::BIGINT AS n_deep,
+       (SELECT count(*) FROM documents)::BIGINT AS n_flat,
+       (SELECT count(*) FROM documents)
+       > (SELECT count(*) FROM documents
+          WHERE source = 'src3') AS flat_overmatches
+"""
+
+
 def q_fts_prefix_lang(spark, sf_dir):
     """Prefix on the plain `lang` field where the GLOBAL-dictionary
     Avg divisor differs from the per-field term count: 'e%' matches
@@ -1439,6 +1563,8 @@ QUERIES: Dict[str, Callable] = {
     "fts_nested": q_fts_nested,
     "fts_nested_type": q_fts_nested_type,
     "fts_nested_vs_object": q_fts_nested_vs_object,
+    "fts_nested_deep": q_fts_nested_deep,
+    "fts_nested_deep_vs_flat": q_fts_nested_deep_vs_flat,
     "fts_wildcard": q_fts_wildcard,
     "fts_regexp": q_fts_regexp,
     "fts_fuzzy": q_fts_fuzzy,
@@ -1486,6 +1612,8 @@ ORACLES: Dict[str, str] = {
     "fts_nested": sql_fts_nested(),
     "fts_nested_type": sql_fts_nested_type(),
     "fts_nested_vs_object": sql_fts_nested_vs_object(),
+    "fts_nested_deep": sql_fts_nested_deep(),
+    "fts_nested_deep_vs_flat": sql_fts_nested_deep_vs_flat(),
     "fts_wildcard": sql_fts_wildcard(),
     "fts_regexp": sql_fts_regexp(),
     "fts_fuzzy": sql_fts_fuzzy(),
