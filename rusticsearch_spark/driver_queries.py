@@ -611,6 +611,40 @@ SELECT (SELECT count(*) FROM documents
 """
 
 
+def q_fts_inner_hits(spark, sf_dir):
+    """ES inner_hits: per parent hit, the matching CHILD rows with
+    their synthetic keys and array offsets.  On the deep index every
+    document's post A carries the ('deep','y') comment at offset 1,
+    so the attached child key is exactly
+    '<key>#posts#0#posts.comments#1' — a string the oracle can
+    construct, making the nested-child attachment hash-checkable."""
+    eng = _nested_deep_engine(spark, sf_dir)
+    q = {"nested": {"path": "posts.comments", "score_mode": "none",
+                    "query": {"and": [
+                        {"term": {"posts.comments.author": "deep"}},
+                        {"term": {"posts.comments.flag": "y"}}]},
+                    "inner_hits": {"size": 5}}}
+    n = eng.count(q)
+    rows = []
+    for h in eng.hits(q, size=n):
+        for c in h["inner_hits"]["posts.comments"]:
+            rows.append((int(h["key"]), c["key"], int(c["offset"]),
+                         c["fields"]["posts.comments.flag"]))
+    return spark.createDataFrame(
+        rows, "doc_id long, child_key string, child_offset long, "
+              "child_flag string")
+
+
+def sql_fts_inner_hits():
+    return """
+SELECT doc_id,
+       doc_id::VARCHAR || '#posts#0#posts.comments#1' AS child_key,
+       1::BIGINT AS child_offset,
+       'y' AS child_flag
+FROM documents
+"""
+
+
 def q_fts_prefix_lang(spark, sf_dir):
     """Prefix on the plain `lang` field where the GLOBAL-dictionary
     Avg divisor differs from the per-field term count: 'e%' matches
@@ -1565,6 +1599,7 @@ QUERIES: Dict[str, Callable] = {
     "fts_nested_vs_object": q_fts_nested_vs_object,
     "fts_nested_deep": q_fts_nested_deep,
     "fts_nested_deep_vs_flat": q_fts_nested_deep_vs_flat,
+    "fts_inner_hits": q_fts_inner_hits,
     "fts_wildcard": q_fts_wildcard,
     "fts_regexp": q_fts_regexp,
     "fts_fuzzy": q_fts_fuzzy,
@@ -1614,6 +1649,7 @@ ORACLES: Dict[str, str] = {
     "fts_nested_vs_object": sql_fts_nested_vs_object(),
     "fts_nested_deep": sql_fts_nested_deep(),
     "fts_nested_deep_vs_flat": sql_fts_nested_deep_vs_flat(),
+    "fts_inner_hits": sql_fts_inner_hits(),
     "fts_wildcard": sql_fts_wildcard(),
     "fts_regexp": sql_fts_regexp(),
     "fts_fuzzy": sql_fts_fuzzy(),

@@ -146,6 +146,10 @@ class Nested:
     path: str
     query: "Query"
     score_mode: str = "avg"       # avg | sum | max | none
+    #: ES ``inner_hits`` request: (name, size, from) — the engine's
+    #: hits() attaches, per parent hit, the top matching CHILD rows
+    #: of this nested query (score desc, doc_id asc).  None = off.
+    inner_hits: Optional[tuple] = None
 
 
 Query = Union[All, NoneQuery, Term, Prefix, Wildcard, Regexp, Fuzzy,
@@ -174,8 +178,29 @@ def boost(q: Query, factor: float) -> Query:
     if isinstance(q, Exclude):
         return Exclude(boost(q.query, factor), q.exclude)
     if isinstance(q, Nested):
-        return Nested(q.path, boost(q.query, factor), q.score_mode)
+        return Nested(q.path, boost(q.query, factor), q.score_mode,
+                      q.inner_hits)
     raise TypeError(type(q))
+
+
+def inner_hits_nodes(q: Query) -> List["Nested"]:
+    """Every Nested node in the tree with an inner_hits request, in
+    depth-first order (hits() attaches one result set per node)."""
+    out: List[Nested] = []
+    if isinstance(q, Nested):
+        if q.inner_hits is not None:
+            out.append(q)
+        out.extend(inner_hits_nodes(q.query))
+    elif isinstance(q, (Conjunction, Disjunction, DisjunctionMax)):
+        for c in q.queries:
+            out.extend(inner_hits_nodes(c))
+    elif isinstance(q, Filter):
+        out.extend(inner_hits_nodes(q.query))
+        out.extend(inner_hits_nodes(q.filter))
+    elif isinstance(q, Exclude):
+        out.extend(inner_hits_nodes(q.query))
+        out.extend(inner_hits_nodes(q.exclude))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -481,8 +506,20 @@ def _parse_nested(body: dict, ctx: ParseContext) -> Query:
     mode = body.get("score_mode", "avg")
     if mode not in ("avg", "sum", "max", "none"):
         raise QueryParseError(f"bad score_mode: {mode!r}")
+    ih = body.get("inner_hits")
+    inner_hits: Optional[tuple] = None
+    if ih is not None:
+        if not isinstance(ih, dict):
+            raise QueryParseError("inner_hits must be an object")
+        unknown = set(ih) - {"name", "size", "from"}
+        if unknown:
+            raise QueryParseError(
+                f"inner_hits: unsupported keys {sorted(unknown)}")
+        inner_hits = (str(ih.get("name", path)),
+                      int(ih.get("size", 3)), int(ih.get("from", 0)))
     inner_ctx = ctx if mode != "none" else ctx.no_score()
-    return Nested(path, parse(body["query"], inner_ctx), mode)
+    return Nested(path, parse(body["query"], inner_ctx), mode,
+                  inner_hits)
 
 
 _PARSERS = {

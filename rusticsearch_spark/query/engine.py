@@ -530,6 +530,19 @@ class SearchEngine:
                 hit["fields"] = {f: ([] if r[f] is None else [r[f]])
                                  for f in known}
             out.append(hit)
+        if out and self.config.nested_paths:
+            # ES inner_hits: attach each requesting nested node's top
+            # matching children per returned parent (keyed by the
+            # node's inner_hits name)
+            nodes = dsl.inner_hits_nodes(self.parse(query_json))
+            if nodes:
+                root_keys = [str(h["key"]) for h in out]
+                for node in nodes:
+                    per_root = self._inner_hits(node, root_keys)
+                    nm = node.inner_hits[0]
+                    for h in out:
+                        h.setdefault("inner_hits", {})[nm] = \
+                            per_root.get(str(h["key"]), [])
         return out
 
     def count(self, query_json: Optional[dict] = None) -> int:
@@ -1094,39 +1107,9 @@ class SearchEngine:
             raise dsl.QueryParseError(
                 f"nested path {q.path!r} is not a descendant of the "
                 f"enclosing nested path {ctxp!r}")
-        # children OF THIS PATH only: child keys are
-        # "<parent>#<path>#<pos>" (mapping.prepare_docs), so the
-        # startswith test against the stored parent key is exact —
-        # a nested query on path A must not see path B's elements,
-        # and inner match_all / root negations must range over this
-        # path's child rows, not parents (the universe override)
+        pmap, child = self._nested_child_scores(
+            q, needs_score and q.score_mode != "none")
         kq = F.col(qname(self.config.key_col)).cast("string")
-        pmap = (self.docs.where(
-            F.col("_nested_parent").isNotNull()
-            & kq.startswith(F.concat(F.col("_nested_parent"),
-                                     F.lit(f"#{q.path}#"))))
-            .select("doc_id", "_nested_parent"))
-        prev, prev_ctx = self._universe_override, self._nested_context
-        self._universe_override = pmap.select("doc_id")
-        self._nested_context = q.path
-        try:
-            if not needs_score or q.score_mode == "none":
-                ds = self._docset(q.query)
-                if ds == NONE:
-                    child = self.spark.createDataFrame(
-                        [], schema=_SCORE_SCHEMA)
-                elif ds == ALL:
-                    child = self._universe() \
-                        .withColumn("score", F.lit(0.0))
-                else:
-                    child = ds.select("doc_id") \
-                        .withColumn("score", F.lit(0.0))
-            else:
-                child = self._materialize(self._score(q.query))
-        finally:
-            self._universe_override = prev
-            self._nested_context = prev_ctx
-        child = self._live(child)
         # ancestor walk: _anc starts at the immediate parent key and
         # hops up one nested level per join until it sits at the
         # target level.  Each hop is a two-column docs projection
@@ -1155,6 +1138,95 @@ class SearchEngine:
         targets = targets.select(kq.alias("_anc"), "doc_id")
         return scored.join(targets, "_anc") \
             .select("doc_id", "score")
+
+    def _nested_child_scores(self, q: dsl.Nested, scored: bool):
+        """(pmap, child): q.path's child rows (doc_id,
+        _nested_parent) and the live matched (doc_id, score) of the
+        inner query evaluated over them — universe and nested context
+        swapped to this path for the duration.  ``scored=False``
+        evaluates the cheaper docset and emits score 0.0.
+
+        Children OF THIS PATH only: child keys are
+        "<parent>#<path>#<pos>" (mapping.prepare_docs), so the
+        startswith test against the stored parent key is exact — a
+        nested query on path A must not see path B's elements, and
+        inner match_all / root negations must range over this path's
+        child rows, not parents (the universe override)."""
+        from ..index.layout import qname
+        kq = F.col(qname(self.config.key_col)).cast("string")
+        pmap = (self.docs.where(
+            F.col("_nested_parent").isNotNull()
+            & kq.startswith(F.concat(F.col("_nested_parent"),
+                                     F.lit(f"#{q.path}#"))))
+            .select("doc_id", "_nested_parent"))
+        prev, prev_ctx = self._universe_override, self._nested_context
+        self._universe_override = pmap.select("doc_id")
+        self._nested_context = q.path
+        try:
+            if not scored:
+                ds = self._docset(q.query)
+                if ds == NONE:
+                    child = self.spark.createDataFrame(
+                        [], schema=_SCORE_SCHEMA)
+                elif ds == ALL:
+                    child = self._universe() \
+                        .withColumn("score", F.lit(0.0))
+                else:
+                    child = ds.select("doc_id") \
+                        .withColumn("score", F.lit(0.0))
+            else:
+                child = self._materialize(self._score(q.query))
+        finally:
+            self._universe_override = prev
+            self._nested_context = prev_ctx
+        return pmap, self._live(child)
+
+    def _inner_hits(self, node: dsl.Nested,
+                    root_keys: List[str]) -> Dict[str, List[dict]]:
+        """Per-ROOT-document top matching child rows of one nested
+        query (the ES ``inner_hits`` feature — beyond the reference's
+        API surface).  Children are grouped by their root ancestor
+        (`_nested_root`; equal to `_nested_parent` on pre-multilevel
+        indexes), restricted to the page's root keys (a tiny isin
+        filter), ranked (score desc, doc_id asc) per root, and
+        collected — the result is bounded by len(root_keys) × size.
+        With score_mode "none" the inner query is unscored; children
+        come back in deterministic doc_id order with score 0.0."""
+        from pyspark.sql import Window
+
+        from ..index.layout import qname
+        name, size, from_ = node.inner_hits
+        _, child = self._nested_child_scores(
+            node, node.score_mode != "none")
+        kq = F.col(qname(self.config.key_col)).cast("string")
+        rc = ("_nested_root" if "_nested_root" in self.docs.columns
+              else "_nested_parent")
+        subcols = [c for c in dict.fromkeys(
+            list(self.config.fields) + self.config.stored)
+            if c.startswith(node.path + ".")]
+        kids = (self.docs.where(
+            F.col("_nested_parent").isNotNull()
+            & kq.startswith(F.concat(F.col("_nested_parent"),
+                                     F.lit(f"#{node.path}#"))))
+            .where(F.col(rc).isin([str(k) for k in root_keys]))
+            .select("doc_id", kq.alias("_ckey"),
+                    F.col(rc).alias("_root"),
+                    *[F.col(qname(c)).alias(c) for c in subcols]))
+        w = Window.partitionBy("_root").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+        ranked = (child.join(kids, "doc_id")
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where((F.col("_rn") > from_)
+                         & (F.col("_rn") <= from_ + size)))
+        out: Dict[str, List[dict]] = {}
+        for r in ranked.orderBy("_root", "_rn").collect():
+            out.setdefault(r["_root"], []).append({
+                "key": r["_ckey"],
+                "offset": int(r["_ckey"].rsplit("#", 1)[1]),
+                "score": float(r["score"]),
+                "fields": {c: r[c] for c in subcols},
+            })
+        return out
 
     # ---------------------------------------------------------------
     # boolean docsets (scoring elided — the reference's no_score path)

@@ -336,6 +336,69 @@ def test_deep_streaming_upsert_replaces_grandchildren(spark, tmp_path):
         {"term": {"posts.comments.author": "bob"}}}}) == 1
 
 
+def test_inner_hits_single_level(spark, deep_cluster):
+    """ES inner_hits: each parent hit carries its top matching child
+    rows (key, offset, score, subfield values), ranked score desc."""
+    q = {"nested": {"path": "posts.comments",
+                    "query": {"term": {"posts.comments.author": "carol"}},
+                    "inner_hits": {}}}
+    hits = deep_cluster.search("docs", q, size=10)
+    assert [h["key"] for h in hits] == ["d6"]
+    inner = hits[0]["inner_hits"]["posts.comments"]
+    assert len(inner) == 2                      # both carol comments
+    assert {c["fields"]["posts.comments.author"] for c in inner} == \
+        {"carol"}
+    assert all(c["key"].startswith("d6#posts#") for c in inner)
+    assert {c["offset"] for c in inner} == {0}  # first comment of each
+    assert inner[0]["score"] >= inner[1]["score"] > 0
+
+
+def test_inner_hits_options_and_errors(spark, deep_cluster):
+    from rusticsearch_spark.query import dsl
+    eng = deep_cluster.engine("docs")
+    # name / size / from
+    q = {"nested": {"path": "posts", "query": {"match_all": {}},
+                    "score_mode": "none",
+                    "inner_hits": {"name": "pp", "size": 1}}}
+    hits = eng.hits(q, size=10)
+    assert {h["key"] for h in hits} == {"d1", "d2", "d3", "d5", "d6"}
+    for h in hits:
+        assert len(h["inner_hits"]["pp"]) == 1          # size cap
+        assert h["inner_hits"]["pp"][0]["score"] == 0.0  # unscored
+    q_from = {"nested": {"path": "posts", "query": {"match_all": {}},
+                         "score_mode": "none",
+                         "inner_hits": {"name": "pp", "size": 5,
+                                        "from": 1}}}
+    h1 = {h["key"]: h["inner_hits"]["pp"] for h in
+          eng.hits(q_from, size=10)}
+    assert len(h1["d1"]) == 1 and len(h1["d3"]) == 0    # paged past
+    with pytest.raises(dsl.QueryParseError, match="unsupported keys"):
+        eng.parse({"nested": {"path": "posts",
+                              "query": {"match_all": {}},
+                              "inner_hits": {"sort": []}}})
+    with pytest.raises(dsl.QueryParseError, match="must be an object"):
+        eng.parse({"nested": {"path": "posts",
+                              "query": {"match_all": {}},
+                              "inner_hits": 3}})
+
+
+def test_inner_hits_two_level_grouped_by_root(spark, deep_cluster):
+    """inner_hits on a depth-2 path group by the ROOT document; only
+    children matching the inner query (within the two-level
+    constraint's own nested evaluation) appear."""
+    q = {"nested": {"path": "posts.comments",
+                    "query": {"term": {"posts.comments.author": "alice"}},
+                    "inner_hits": {"size": 10}}}
+    hits = deep_cluster.search("docs", q, size=10)
+    by = {h["key"]: h["inner_hits"]["posts.comments"] for h in hits}
+    assert set(by) == {"d1", "d2", "d3"}
+    # d1 has alice comments in two different posts — both attach
+    assert sorted(c["key"] for c in by["d1"]) == [
+        "d1#posts#0#posts.comments#0", "d1#posts#1#posts.comments#0"]
+    assert all(c["fields"]["posts.comments.author"] == "alice"
+               for cs in by.values() for c in cs)
+
+
 def test_nested_in_object_end_to_end(spark, tmp_path):
     from rusticsearch_spark.cluster import Cluster
     mapping = {"properties": {
