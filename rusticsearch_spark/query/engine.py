@@ -34,6 +34,7 @@ differ from the reference by f32-accumulation order at ~1e-7 relative
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
@@ -614,8 +615,27 @@ class SearchEngine:
 
     def _fused_blocks(self, children) -> DataFrame:
         """Spec-joined block rows for fusable Term children (shared by
-        the full decode and the pruned top-k paths)."""
+        the full decode and the pruned top-k paths).
+
+        df_global comes from the driver-side term dictionary when the
+        sidecar exists — a zero-job read (the same source the pruned
+        path and the zero-job `_count` already trust; the sidecar is
+        maintained through merges, `tests/test_term_dict.py`) joined
+        in as a broadcast LITERAL.  The legacy fallback aggregates
+        df_block in-plan, which costs a full block-metadata scan plus
+        an aggregate-broadcast exchange PER QUERY.
+        ``SPARK_GRAFT_FUSED_DICT_DF=0`` forces the fallback (A/B)."""
         blocks = self._fused_core(children)
+        if self.dict_reader is not None and os.environ.get(
+                "SPARK_GRAFT_FUSED_DICT_DF", "1") != "0":
+            looked = self.dict_reader.lookup(
+                [(c.field, c.term) for c in children])
+            rows = [(c.field, c.term,
+                     int(looked.get((c.field, c.term), (0, 0))[0]))
+                    for c in children]
+            dfdf = self.spark.createDataFrame(
+                rows, "field string, term string, df_global long")
+            return blocks.join(F.broadcast(dfdf), ["field", "term"])
         dfagg = blocks.groupBy("field", "term").agg(
             F.sum("df_block").cast("long").alias("df_global"))
         return blocks.join(F.broadcast(dfagg), ["field", "term"])
