@@ -534,9 +534,19 @@ class SearchEngine:
         if out and self.config.nested_paths:
             # ES inner_hits: attach each requesting nested node's top
             # matching children per returned parent (keyed by the
-            # node's inner_hits name)
+            # node's inner_hits name).  Serving modes answer from the
+            # in-memory child arrays — zero Spark jobs, like the
+            # top-k itself; spark mode runs one bounded job per node.
             nodes = dsl.inner_hits_nodes(self.parse(query_json))
-            if nodes:
+            if nodes and self._local is not None:
+                root_ids = [int(h["doc_id"]) for h in out]
+                for node in nodes:
+                    per_root = self._local.inner_hits(node, root_ids)
+                    nm = node.inner_hits[0]
+                    for h in out:
+                        h.setdefault("inner_hits", {})[nm] = \
+                            per_root.get(int(h["doc_id"]), [])
+            elif nodes:
                 root_keys = [str(h["key"]) for h in out]
                 for node in nodes:
                     per_root = self._inner_hits(node, root_keys)

@@ -129,6 +129,7 @@ class LocalSearcher:
         (tests/test_local_searcher.py lazy battery)."""
         import os
         layout = IndexLayout(index_dir)
+        self.index_dir = index_dir
         self.config: IndexConfig = layout.read_config()
         self._global_terms = global_terms
         self._global_df = global_df
@@ -245,6 +246,7 @@ class LocalSearcher:
         self._nested: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self._universe_override: Optional[np.ndarray] = None
         self._nested_context: Optional[str] = None
+        self._docs_dirs = docs_dirs    # for lazy nested-meta reads
         if self.config.nested_paths and docs_dirs:
             if jobs is not None and not self.config.nested_colocated:
                 # pre-colocation indexes bucketed child rows by their
@@ -496,22 +498,15 @@ class LocalSearcher:
             return scored[1][0]
         return scored[0]            # "all" / "none" sentinel strings
 
-    def _nested_frame(self, q: dsl.Nested) -> Frame:
-        """ES nested query (engine._score_nested mirror): evaluate
-        the inner query over the path's CHILD rows — universe swapped
-        so inner match_all / root negations range over array elements
-        — keep live matched children, fold child scores to parents
-        per score_mode through the preloaded child→parent arrays.
-        A numpy group-by replaces the Spark engine's key join; the
-        output frame is parent-sorted (np.unique)."""
-        from ..nested import nested_parent_path as _npp
-        ctxp = self._nested_context
-        if ctxp is not None and not q.path.startswith(ctxp + "."):
-            raise dsl.QueryParseError(
-                f"nested path {q.path!r} is not a descendant of the "
-                f"enclosing nested path {ctxp!r}")
-        kids, kid_parents = self._nested.get(
-            q.path, (np.empty(0, np.int64), np.empty(0, np.int64)))
+    def _nested_child_scores(self, q: dsl.Nested,
+                             kids: np.ndarray) -> Frame:
+        """Live matched (doc_ids, scores) of q's inner query over the
+        path's child rows — universe and nested context swapped to
+        this path for the duration.  Only this path's children count
+        (a flat term inside the nested body could score other rows),
+        and deleted children must not contribute to a surviving
+        parent's score.  score_mode "none" evaluates the cheaper
+        docset and emits score 0.0."""
         prev, prev_ctx = self._universe_override, self._nested_context
         self._universe_override = kids
         self._nested_context = q.path
@@ -529,13 +524,109 @@ class LocalSearcher:
         finally:
             self._universe_override = prev
             self._nested_context = prev_ctx
-        # only this path's children count (a flat term inside the
-        # nested body could score other rows), and deleted children
-        # must not contribute to a surviving parent's score
         keep = _in_sorted(ids, kids)
         if self.deleted is not None and ids.size:
             keep &= ~_in_sorted(ids, self.deleted)
-        ids, scores = ids[keep], scores[keep]
+        return ids[keep], scores[keep]
+
+    def inner_hits(self, node: dsl.Nested,
+                   root_ids: List[int]) -> Dict[int, List[dict]]:
+        """Serving-native ES inner_hits (engine._inner_hits mirror,
+        zero Spark jobs): per ROOT doc_id, the node's top matching
+        child rows — synthetic key, array offset, score, subfield
+        values — ranked (score desc, doc_id asc), sliced
+        [from, from+size).  Child metadata loads lazily per path from
+        the docs sidecar (one pyarrow read, cached)."""
+        from ..nested import nested_parent_path as _npp
+        name, size, from_ = node.inner_hits
+        kids, _ = self._nested.get(
+            node.path, (np.empty(0, np.int64), np.empty(0, np.int64)))
+        ids, scores = self._nested_child_scores(node, kids)
+        out: Dict[int, List[dict]] = {}
+        if ids.size == 0:
+            return out
+        # walk every matched child to its ROOT ancestor
+        roots = self._nested[node.path][1][
+            np.searchsorted(self._nested[node.path][0], ids)]
+        lvl = _npp(node.path, self.config.nested_paths)
+        while lvl is not None:
+            lk, lp = self._nested[lvl]
+            roots = lp[np.searchsorted(lk, roots)]
+            lvl = _npp(lvl, self.config.nested_paths)
+        want = np.asarray(sorted(set(int(r) for r in root_ids)),
+                          dtype=np.int64)
+        keep = _in_sorted(roots, want)
+        ids, scores, roots = ids[keep], scores[keep], roots[keep]
+        if ids.size == 0:
+            return out
+        ckeys, cfields = self._nested_meta(node.path)
+        # rank per root: sort by (root, -score, doc_id), slice per group
+        order = np.lexsort((ids, -scores, roots))
+        ids, scores, roots = ids[order], scores[order], roots[order]
+        pos = {int(d): i for i, d in enumerate(ckeys[0])}
+        rank = 0
+        prev_root = None
+        for d, s, r in zip(ids, scores, roots):
+            rank = rank + 1 if r == prev_root else 1
+            prev_root = r
+            if rank <= from_ or rank > from_ + size:
+                continue
+            i = pos[int(d)]
+            k = ckeys[1][i]
+            out.setdefault(int(r), []).append({
+                "key": k,
+                "offset": int(k.rsplit("#", 1)[1]),
+                "score": float(s),
+                "fields": {c: v[i] for c, v in cfields.items()},
+            })
+        return out
+
+    def _nested_meta(self, path: str):
+        """Lazily-loaded child metadata for one nested path:
+        ((child_ids, keys), {subfield: values}) aligned arrays."""
+        cache = getattr(self, "_nested_meta_cache", None)
+        if cache is None:
+            cache = self._nested_meta_cache = {}
+        got = cache.get(path)
+        if got is not None:
+            return got
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        key_c = self.config.key_col
+        subcols = [c for c in dict.fromkeys(
+            list(self.config.fields) + self.config.stored)
+            if c.startswith(path + ".")]
+        tbl = pa.concat_tables([
+            pq.read_table(d, columns=["doc_id", key_c] + subcols)
+            for d in self._docs_dirs])
+        dids = tbl.column("doc_id").to_numpy()
+        member = _in_sorted(dids, self._nested[path][0])
+        dids = dids[member]
+        keys = np.asarray(tbl.column(key_c).to_pylist(),
+                          dtype=object)[member]
+        fields = {c: np.asarray(tbl.column(c).to_pylist(),
+                                dtype=object)[member] for c in subcols}
+        got = ((dids, keys), fields)
+        cache[path] = got
+        return got
+
+    def _nested_frame(self, q: dsl.Nested) -> Frame:
+        """ES nested query (engine._score_nested mirror): evaluate
+        the inner query over the path's CHILD rows — universe swapped
+        so inner match_all / root negations range over array elements
+        — keep live matched children, fold child scores to parents
+        per score_mode through the preloaded child→parent arrays.
+        A numpy group-by replaces the Spark engine's key join; the
+        output frame is parent-sorted (np.unique)."""
+        from ..nested import nested_parent_path as _npp
+        ctxp = self._nested_context
+        if ctxp is not None and not q.path.startswith(ctxp + "."):
+            raise dsl.QueryParseError(
+                f"nested path {q.path!r} is not a descendant of the "
+                f"enclosing nested path {ctxp!r}")
+        kids, kid_parents = self._nested.get(
+            q.path, (np.empty(0, np.int64), np.empty(0, np.int64)))
+        ids, scores = self._nested_child_scores(q, kids)
         if ids.size == 0:
             return _EMPTY
         # walk ancestors up to the enclosing level, THEN group once —
@@ -712,3 +803,13 @@ class ShardedSearcher:
 
     def count(self, query_json: Optional[dict] = None) -> int:
         return sum(s.count(query_json) for s in self.shards)
+
+    def inner_hits(self, node: "dsl.Nested",
+                   root_ids: List[int]) -> Dict[int, List[dict]]:
+        """A root document's entire descendant chain co-locates in
+        ONE shard (parent-complete bucketing), so the global answer
+        is the disjoint union of per-shard answers."""
+        out: Dict[int, List[dict]] = {}
+        for s in self.shards:
+            out.update(s.inner_hits(node, root_ids))
+        return out

@@ -399,6 +399,44 @@ def test_inner_hits_two_level_grouped_by_root(spark, deep_cluster):
                for cs in by.values() for c in cs)
 
 
+def test_inner_hits_serving_matches_spark(spark, deep_cluster):
+    """inner_hits answer identically from all three tiers: the spark
+    job path, the local searcher's in-memory child arrays, and the
+    sharded searcher's per-shard union (chains are shard-local)."""
+    from rusticsearch_spark.query.engine import SearchEngine
+    idx = deep_cluster._dir("docs")
+    engines = {m: SearchEngine(spark, idx, mode=m)
+               for m in ("spark", "local", "sharded")}
+    queries = [
+        {"nested": {"path": "posts.comments",
+                    "query": {"term": {"posts.comments.author": "alice"}},
+                    "inner_hits": {"size": 10}}},
+        {"nested": {"path": "posts", "query": {"match_all": {}},
+                    "score_mode": "none",
+                    "inner_hits": {"name": "pp", "size": 2, "from": 1}}},
+        Q_TWO_LEVEL | {},
+    ]
+    queries[2] = {"nested": {**Q_TWO_LEVEL["nested"],
+                             "inner_hits": {"size": 5}}}
+    for q in queries:
+        want = engines["spark"].hits(q, size=20)
+        for m in ("local", "sharded"):
+            got = engines[m].hits(q, size=20)
+            assert [h["key"] for h in got] == \
+                [h["key"] for h in want], (m, q)
+            for g, w in zip(got, want):
+                gi, wi = g["inner_hits"], w["inner_hits"]
+                assert set(gi) == set(wi), (m, q)
+                for nm in wi:
+                    assert [(c["key"], c["offset"], c["fields"])
+                            for c in gi[nm]] == \
+                        [(c["key"], c["offset"], c["fields"])
+                         for c in wi[nm]], (m, q, nm)
+                    for gc, wc in zip(gi[nm], wi[nm]):
+                        assert gc["score"] == pytest.approx(
+                            wc["score"], rel=1e-6, abs=1e-9), (m, q, nm)
+
+
 def test_nested_in_object_end_to_end(spark, tmp_path):
     from rusticsearch_spark.cluster import Cluster
     mapping = {"properties": {
