@@ -274,14 +274,25 @@ class LocalSearcher:
             # ALL rows, not just roots: with multi-level nesting a
             # child row is itself the parent of deeper child rows
             pkey_to_id = {str(k): int(d) for k, d in zip(keys, dids)}
-            for path in self.config.nested_paths:
-                cids, cpar = [], []
-                for k, p, d, c in zip(keys, pars, dids, is_child):
-                    if c and str(k).startswith(f"{p}#{path}#"):
-                        pid = pkey_to_id.get(str(p))
-                        if pid is not None:
-                            cids.append(int(d))
-                            cpar.append(pid)
+            # ONE pass over the rows, not one per path: a child key
+            # is "<parent>#<path>#<pos>" with the STORED parent as
+            # its literal prefix, so slicing it off and dropping the
+            # trailing "#<pos>" recovers the path exactly (pos is
+            # digits; parent and path may themselves contain '#')
+            by_path: Dict[str, Tuple[List[int], List[int]]] = {
+                p: ([], []) for p in self.config.nested_paths}
+            for k, p, d, c in zip(keys, pars, dids, is_child):
+                if not c:
+                    continue
+                k = str(k)
+                path = k[len(str(p)) + 1:k.rfind("#")]
+                slot = by_path.get(path)
+                if slot is not None:
+                    pid = pkey_to_id.get(str(p))
+                    if pid is not None:
+                        slot[0].append(int(d))
+                        slot[1].append(pid)
+            for path, (cids, cpar) in by_path.items():
                 ca = np.asarray(cids, dtype=np.int64)
                 pa_ = np.asarray(cpar, dtype=np.int64)
                 order = np.argsort(ca)
