@@ -645,6 +645,65 @@ FROM documents
 """
 
 
+_exists_engines: Dict[str, SearchEngine] = {}
+
+
+def _exists_engine(spark, sf_dir) -> SearchEngine:
+    """Engine over an index with genuinely-absent values: documents
+    get `maybe_lang` = lang only when doc_id%3==0 (else NULL) and
+    `tags` = [source] when %4==0, [] when %4==1 (ES: empty array IS
+    missing), NULL otherwise."""
+    key = os.path.normpath(sf_dir)
+    eng = _exists_engines.get(key)
+    if eng is None:
+        idx_dir = os.path.join(_CACHE_ROOT, os.path.basename(key),
+                               "exists_idx")
+        layout = IndexLayout(idx_dir)
+        try:
+            ok = bool(layout.completed_jobs(spark))
+        except Exception:
+            ok = False
+        if not ok:
+            docs = (_docs(spark, sf_dir)
+                    .withColumnRenamed("doc_id", "src_doc_id")
+                    .withColumn("maybe_lang", F.when(
+                        F.col("src_doc_id") % 3 == 0, F.col("lang")))
+                    .withColumn("tags", F.when(
+                        F.col("src_doc_id") % 4 == 0,
+                        F.array(F.col("source"))).when(
+                        F.col("src_doc_id") % 4 == 1,
+                        F.array().cast("array<string>"))))
+            build_index(spark, docs.select("src_doc_id", "maybe_lang",
+                                           "tags"),
+                        idx_dir, IndexConfig(
+                            key_col="src_doc_id",
+                            fields={"maybe_lang": None, "tags": None},
+                            n_buckets=8, tbuckets=4), jobs=1)
+        eng = SearchEngine(spark, idx_dir, precision="f64")
+        _exists_engines[key] = eng
+    return eng
+
+
+def q_fts_exists(spark, sf_dir):
+    """ES exists/missing (beyond the reference's query set): present
+    = non-null AND non-empty for arrays; `missing` is the complement
+    through the boolean algebra (here double-negated to exercise the
+    Exclude folding)."""
+    eng = _exists_engine(spark, sf_dir)
+    q = {"filtered": {
+        "query": {"exists": {"field": "tags"}},
+        "filter": {"not": {"missing": {"field": "maybe_lang"}}}}}
+    frame = eng._docset(eng.parse(q))
+    return (frame.join(eng.docs.select("doc_id", "src_doc_id"), "doc_id")
+            .select(F.col("src_doc_id").cast("long").alias("doc_id")))
+
+
+def sql_fts_exists():
+    return """
+SELECT doc_id FROM documents WHERE doc_id % 12 = 0
+"""
+
+
 def q_fts_prefix_lang(spark, sf_dir):
     """Prefix on the plain `lang` field where the GLOBAL-dictionary
     Avg divisor differs from the per-field term count: 'e%' matches
@@ -1600,6 +1659,7 @@ QUERIES: Dict[str, Callable] = {
     "fts_nested_deep": q_fts_nested_deep,
     "fts_nested_deep_vs_flat": q_fts_nested_deep_vs_flat,
     "fts_inner_hits": q_fts_inner_hits,
+    "fts_exists": q_fts_exists,
     "fts_wildcard": q_fts_wildcard,
     "fts_regexp": q_fts_regexp,
     "fts_fuzzy": q_fts_fuzzy,
@@ -1650,6 +1710,7 @@ ORACLES: Dict[str, str] = {
     "fts_nested_deep": sql_fts_nested_deep(),
     "fts_nested_deep_vs_flat": sql_fts_nested_deep_vs_flat(),
     "fts_inner_hits": sql_fts_inner_hits(),
+    "fts_exists": sql_fts_exists(),
     "fts_wildcard": sql_fts_wildcard(),
     "fts_regexp": sql_fts_regexp(),
     "fts_fuzzy": sql_fts_fuzzy(),

@@ -48,6 +48,18 @@ class NoneQuery:
 
 
 @dataclass(frozen=True)
+class Exists:
+    """ES `exists` query (beyond the reference's set — an ES-1.x
+    filter every real mapping workflow leans on): matches documents
+    whose STORED value for ``field`` is present — non-null, and for
+    array fields non-empty (ES treats `[]` as missing).  Scores a
+    constant (ES query-context semantics); `missing` parses to
+    Exclude(All, Exists) through the ordinary boolean algebra."""
+    field: str
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
 class Term:
     field: str
     term: str
@@ -154,7 +166,7 @@ class Nested:
 
 Query = Union[All, NoneQuery, Term, Prefix, Wildcard, Regexp, Fuzzy,
               Conjunction, Disjunction, DisjunctionMax, Filter, Exclude,
-              Nested]
+              Nested, Exists]
 
 
 def boost(q: Query, factor: float) -> Query:
@@ -180,6 +192,8 @@ def boost(q: Query, factor: float) -> Query:
     if isinstance(q, Nested):
         return Nested(q.path, boost(q.query, factor), q.score_mode,
                       q.inner_hits)
+    if isinstance(q, Exists):
+        return replace(q, score=q.score * factor)
     raise TypeError(type(q))
 
 
@@ -522,6 +536,26 @@ def _parse_nested(body: dict, ctx: ParseContext) -> Query:
                   inner_hits)
 
 
+def _parse_exists(body: dict, ctx: ParseContext) -> Query:
+    """{"exists": {"field": f}} — field value present (non-null;
+    non-empty for arrays).  Constant score 1.0 in query context."""
+    if not isinstance(body, dict) or "field" not in body \
+            or not isinstance(body["field"], str):
+        raise QueryParseError("exists needs a string 'field'")
+    return Exists(body["field"])
+
+
+def _parse_missing(body: dict, ctx: ParseContext) -> Query:
+    """{"missing": {"field": f}} — the ES-1.x complement filter:
+    documents where the field is absent.  Expressed through the
+    ordinary boolean algebra as Exclude(All, Exists), so planner
+    folding and universe semantics come for free."""
+    if not isinstance(body, dict) or "field" not in body \
+            or not isinstance(body["field"], str):
+        raise QueryParseError("missing needs a string 'field'")
+    return Exclude(All(1.0), Exists(body["field"]))
+
+
 _PARSERS = {
     "match": _parse_match,
     "nested": _parse_nested,
@@ -541,6 +575,8 @@ _PARSERS = {
     "not": _parse_not,
     "filtered": _parse_filtered,
     "constant_score": _parse_constant_score,
+    "exists": _parse_exists,
+    "missing": _parse_missing,
 }
 
 

@@ -1169,6 +1169,23 @@ class SearchEngine:
         return scored.join(targets, "_anc") \
             .select("doc_id", "score")
 
+    def _exists_docset(self, field: str):
+        """Docs whose STORED value for ``field`` is present: non-null,
+        and non-empty for array columns (ES treats `[]` as missing).
+        A column-pruned docs scan with the predicate pushed to
+        parquet — null counts come from row-group statistics, so the
+        scan skips row groups where every value is null.  Fields the
+        index never stored (unknown names) match nothing."""
+        from ..index.layout import qname
+        if field not in self.docs.columns:
+            return NONE
+        c = F.col(qname(field))
+        from pyspark.sql import types as _T
+        dtype = self.docs.schema[field].dataType
+        pred = (c.isNotNull() & (F.size(c) > 0)
+                if isinstance(dtype, _T.ArrayType) else c.isNotNull())
+        return self.docs.where(pred).select("doc_id")
+
     def _nested_child_scores(self, q: dsl.Nested, scored: bool):
         """(pmap, child): q.path's child rows (doc_id,
         _nested_parent) and the live matched (doc_id, score) of the
@@ -1278,6 +1295,8 @@ class SearchEngine:
         if isinstance(q, dsl.Nested):
             return self._score_nested(q, needs_score=False) \
                 .select("doc_id")
+        if isinstance(q, dsl.Exists):
+            return self._exists_docset(q.field)
         if isinstance(q, dsl.Conjunction):
             if self._fusable(q.queries):
                 fused = self._fused_frame(q.queries)
@@ -1362,6 +1381,12 @@ class SearchEngine:
             return self._combine(q.queries, mode="max")
         if isinstance(q, dsl.Nested):
             return ("df", self._score_nested(q))
+        if isinstance(q, dsl.Exists):
+            ds = self._exists_docset(q.field)
+            if ds == NONE:
+                return ("none", None)
+            return ("df", ds.withColumn("score",
+                                        F.lit(float(q.score))))
         if isinstance(q, dsl.Filter):
             fused = self._fused_filter(q.query, q.filter, anti=False)
             if fused is not None:

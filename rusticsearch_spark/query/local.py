@@ -490,6 +490,9 @@ class LocalSearcher:
             return ("df", self._selector(q))
         if isinstance(q, dsl.Nested):
             return ("df", self._nested_frame(q))
+        if isinstance(q, dsl.Exists):
+            ids = self._exists_ids(q.field)
+            return ("df", (ids, np.full(ids.size, float(q.score))))
         if isinstance(q, (dsl.Conjunction, dsl.Disjunction,
                           dsl.DisjunctionMax)):
             mode = ("and" if isinstance(q, dsl.Conjunction) else
@@ -620,6 +623,40 @@ class LocalSearcher:
         got = ((dids, keys), fields)
         cache[path] = got
         return got
+
+    def _exists_ids(self, field: str) -> np.ndarray:
+        """Sorted doc_ids whose stored ``field`` is present — non-null
+        and, for list columns, non-empty (engine._exists_docset
+        mirror).  One lazy column-pruned pyarrow read per field,
+        cached; unknown fields (never stored) match nothing."""
+        cache = getattr(self, "_exists_cache", None)
+        if cache is None:
+            cache = self._exists_cache = {}
+        got = cache.get(field)
+        if got is not None:
+            return got
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        known = ({self.config.key_col} | set(self.config.fields)
+                 | set(self.config.stored))
+        if field not in known or not self._docs_dirs:
+            ids = np.empty(0, dtype=np.int64)
+        else:
+            tbl = pa.concat_tables([
+                pq.read_table(d, columns=["doc_id", field])
+                for d in self._docs_dirs])
+            col = tbl.column(field)
+            if pa.types.is_list(col.type) \
+                    or pa.types.is_large_list(col.type):
+                lens = pc.fill_null(pc.list_value_length(col), 0)
+                mask = pc.and_(pc.is_valid(col), pc.greater(lens, 0))
+            else:
+                mask = pc.is_valid(col)
+            m = mask.combine_chunks().to_numpy(zero_copy_only=False)
+            ids = np.sort(tbl.column("doc_id").to_numpy()[m])
+        cache[field] = ids
+        return ids
 
     def _nested_frame(self, q: dsl.Nested) -> Frame:
         """ES nested query (engine._score_nested mirror): evaluate
