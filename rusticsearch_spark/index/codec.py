@@ -142,6 +142,25 @@ def varbyte_decode_concat(buf: np.ndarray, offsets: np.ndarray):
     return _accumulate_varbyte(b, group, pos, n), counts
 
 
+def decode_docids_concat(segments: np.ndarray,
+                         doc_buf: np.ndarray, doc_offsets: np.ndarray):
+    """Doc ids only — the score-elided docset path of
+    :func:`decode_blocks_concat`: tf/len streams are never touched.
+    Returns ``(doc_ids int64, counts int64)``."""
+    deltas, counts = varbyte_decode_concat(doc_buf, doc_offsets)
+    excl = np.empty(deltas.size + 1, dtype=np.int64)
+    excl[0] = 0
+    np.cumsum(deltas.astype(np.int64), out=excl[1:])
+    block_starts = np.empty(counts.size + 1, dtype=np.int64)
+    block_starts[0] = 0
+    np.cumsum(counts, out=block_starts[1:])
+    local = excl[1:] - np.repeat(excl[block_starts[:-1]], counts)
+    seg_base = (np.ascontiguousarray(segments, dtype=np.int64)
+                << SEGMENT_BITS)
+    doc_ids = np.repeat(seg_base, counts) + local
+    return doc_ids, counts
+
+
 def decode_blocks_concat(segments: np.ndarray,
                          doc_buf: np.ndarray, doc_offsets: np.ndarray,
                          tf_buf: np.ndarray, tf_offsets: np.ndarray,

@@ -98,7 +98,8 @@ class TermDictReader:
 
     def selector_stats(self, field: str, match_fn, prefix_hint: str = "",
                        max_terms: int = 65536
-                       ) -> Tuple[int, List[str], List[int]]:
+                       ) -> Tuple[int, List[str], List[int],
+                                  Dict[str, int]]:
         """(n_global_terms, field_terms_sorted, field_tbuckets) for an
         arbitrary term selector — the dictionary-driven generalization
         behind wildcard/fuzzy (the reference DECLARES these selectors
@@ -112,9 +113,10 @@ class TermDictReader:
         matching terms across EVERY field (the index-wide dictionary
         feeds the MultiTerm Avg divisor, term_dictionary.rs:78-85);
         the term list + tbuckets prune the postings scan for the
-        QUERY field.  Raises when more than ``max_terms`` distinct
-        terms match (the same driver-safety bound ES enforces via
-        max_expansions)."""
+        QUERY field, and the query field's per-term global df rides
+        the same read (→ literal df attach, no in-plan df aggregate).
+        Raises when more than ``max_terms`` distinct terms match (the
+        same driver-safety bound ES enforces via max_expansions)."""
         import pyarrow.dataset as ds
         filt = None
         if prefix_hint:
@@ -123,13 +125,15 @@ class TermDictReader:
             if hi is not None:
                 filt = filt & (ds.field("term") < hi)
         tbl = self._dataset().to_table(
-            filter=filt, columns=["field", "term", "tbucket"])
+            filter=filt, columns=["field", "term", "tbucket", "df"])
         memo: Dict[str, bool] = {}
         fterms, ftbs = set(), set()
+        dfmap: Dict[str, int] = {}
         n_global = 0
-        for fld, t, tb in zip(tbl.column("field").to_pylist(),
-                              tbl.column("term").to_pylist(),
-                              tbl.column("tbucket").to_pylist()):
+        for fld, t, tb, d in zip(tbl.column("field").to_pylist(),
+                                 tbl.column("term").to_pylist(),
+                                 tbl.column("tbucket").to_pylist(),
+                                 tbl.column("df").to_pylist()):
             hit = memo.get(t)
             if hit is None:
                 hit = memo[t] = bool(match_fn(t))
@@ -141,11 +145,13 @@ class TermDictReader:
             if hit and fld == field:
                 fterms.add(t)
                 ftbs.add(int(tb))
-        return n_global, sorted(fterms), sorted(ftbs)
+                dfmap[t] = dfmap.get(t, 0) + int(d)
+        return n_global, sorted(fterms), sorted(ftbs), dfmap
 
     def selector_stats_spark(self, spark, field: str, pred,
                              max_terms: int = 65536
-                             ) -> Tuple[int, List[str], List[int]]:
+                             ) -> Tuple[int, List[str], List[int],
+                                        Dict[str, int]]:
         """``selector_stats`` for UNANCHORED selectors (no literal
         prefix: leading-``*`` wildcards, ``.*``-leading regexps,
         fuzzy with prefix_length=0) — the one case where the driver
@@ -162,7 +168,9 @@ class TermDictReader:
                 .where(pred)
                 .groupBy("term")
                 .agg(F.max(F.when(F.col("field") == field,
-                                  F.col("tbucket"))).alias("ftb"))
+                                  F.col("tbucket"))).alias("ftb"),
+                     F.sum(F.when(F.col("field") == field,
+                                  F.col("df"))).alias("fdf"))
                 .limit(max_terms + 1)
                 .collect())
         if len(rows) > max_terms:
@@ -170,7 +178,35 @@ class TermDictReader:
                 f"selector matches more than {max_terms} terms")
         fterms = sorted(r.term for r in rows if r.ftb is not None)
         ftbs = sorted({int(r.ftb) for r in rows if r.ftb is not None})
-        return len(rows), fterms, ftbs
+        dfmap = {r.term: int(r.fdf) for r in rows if r.ftb is not None}
+        return len(rows), fterms, ftbs, dfmap
+
+    def prefix_stats_df(self, prefix: str, field: str
+                        ) -> Tuple[int, List[int], Dict[str, int]]:
+        """``prefix_stats`` plus the query field's per-term global df
+        ({term: df}, summed across jobs) from the SAME dictionary
+        read — lets the planner attach ``df_global`` as a literal and
+        skip the per-query in-plan df aggregate (one fewer Exchange +
+        BroadcastExchange + postings scan per multi-term query)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+        f = ds.field("term") >= prefix
+        hi = _prefix_upper(prefix)
+        if hi is not None:
+            f = f & (ds.field("term") < hi)
+        tbl = self._dataset().to_table(
+            filter=f, columns=["field", "term", "tbucket", "df"])
+        if hi is None:
+            # unincrementable prefix (U+10FFFF tail): post-filter
+            tbl = tbl.filter(pc.starts_with(tbl.column("term"), prefix))
+        n = len(pc.unique(tbl.column("term")))
+        tbs = sorted(pc.unique(tbl.column("tbucket")).to_pylist())
+        ftbl = tbl.filter(pc.equal(tbl.column("field"), field))
+        dfmap: Dict[str, int] = {}
+        for t, d in zip(ftbl.column("term").to_pylist(),
+                        ftbl.column("df").to_pylist()):
+            dfmap[t] = dfmap.get(t, 0) + int(d)
+        return n, tbs, dfmap
 
     def prefix_stats(self, prefix: str) -> Tuple[int, List[int]]:
         """(n_distinct_terms, sorted tbuckets) over the GLOBAL (all

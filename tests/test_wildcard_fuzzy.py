@@ -171,7 +171,7 @@ def test_unanchored_wildcard_distributes_enumeration(engine):
         type(engine.dict_reader).selector_stats = bak_driver
         type(engine.dict_reader).selector_stats_spark = bak_spark
     assert "driver" not in calls and "spark" in calls
-    n, terms, _ = calls["spark"]
+    n, terms, _, _ = calls["spark"]
     # every collected term actually matches: enumeration was pushed
     # down, the driver never saw a non-matching dictionary row
     assert n == len(terms) > 0
