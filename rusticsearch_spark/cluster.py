@@ -170,13 +170,54 @@ class Cluster:
     def get_document(self, index: str, key: str) -> Optional[dict]:
         """GET /:index/:mapping/:doc — returns the stored row as a
         dict (the reference stubs this with ``{}``,
-        document_api.rs:30-49; ours is functional)."""
+        document_api.rs:30-49; ours is functional).
+
+        Served from the kbucket-pruned doc_index sidecar with a
+        driver-side pyarrow read — ZERO Spark jobs, mirroring the
+        reference's O(1) ``k<doc_key>`` lookup
+        (document_index.rs:71-91): one kbucket partition resolves the
+        doc_id, then one row-group-pruned read of that job's docs dir
+        fetches the stored row.  Falls back to the Spark scan when a
+        deletion list is pending (the logical-delete window), the
+        sidecar is incomplete (legacy index), or the key column is
+        not a string."""
         eng = self.engine(index)
+        if eng.deletions is None:
+            row = self._get_document_driver(eng, key)
+            if row is not NotImplemented:
+                return row
         frame = eng.docs.where(F.col(eng.config.key_col) == key)
         if eng.deletions is not None:
             frame = frame.join(eng.deletions, "doc_id", "left_anti")
         row = frame.limit(1).collect()
         return row[0].asDict() if row else None
+
+    @staticmethod
+    def _get_document_driver(eng: SearchEngine, key: str):
+        """Zero-Spark-job GET through the doc_index sidecar; returns
+        NotImplemented when the driver path cannot serve (caller
+        falls back to the Spark scan)."""
+        import pyarrow.dataset as ds
+
+        from .index.doc_index import lookup_key_driver
+        hits = lookup_key_driver(eng.layout, eng.config, eng._jobs, key)
+        if hits is None:
+            return NotImplemented
+        if not hits:
+            return None
+        job, doc_id = hits[0]
+        tbl = ds.dataset(eng.layout.job_dir("docs", job),
+                         format="parquet").to_table(
+            filter=ds.field("doc_id") == doc_id)
+        if tbl.num_rows == 0:      # torn sidecar — let Spark decide
+            return NotImplemented
+        row = {c: tbl.column(c)[0].as_py() for c in tbl.column_names}
+        # match the Spark path's Row.asDict exactly: the basePath
+        # partition column rides along, and binary cells surface as
+        # bytearray
+        row["job"] = job
+        return {k: (bytearray(v) if isinstance(v, bytes) else v)
+                for k, v in row.items()}
 
     def delete_document(self, index: str, key: str) -> bool:
         """DELETE /:index/:mapping/:doc — logical delete via the

@@ -669,7 +669,7 @@ def write_job(spark: SparkSession, ids: DataFrame, layout: IndexLayout,
     from .doc_index import write_doc_index
     _sidecar_pool = ThreadPoolExecutor(max_workers=1)
     _sidecar = _sidecar_pool.submit(write_doc_index, ids, layout, config,
-                                    job, shuffle_p)
+                                    job, shuffle_p, n_docs)
 
     def _join_sidecar() -> None:
         # always await the sidecar before leaving this frame — on a

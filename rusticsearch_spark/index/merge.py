@@ -99,7 +99,7 @@ def merge_jobs(spark: SparkSession, index_dir: str, out_dir: str,
 
     from .doc_index import write_doc_index
     write_doc_index(spark.read.parquet(out.job_dir("docs", 0)),
-                    out, config, 0, shuffle_p)
+                    out, config, 0, shuffle_p, n_rows=n_docs)
 
     blocks = spark.read.option("basePath", layout.table("postings")) \
         .parquet(*[layout.job_dir("postings", j) for j in jobs])

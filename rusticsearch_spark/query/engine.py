@@ -1220,9 +1220,18 @@ class SearchEngine:
 
             def match_fn(t: str) -> bool:
                 return t.startswith(hint) and editdist_leq(t, qt, fz)
-            pred = F.levenshtein(F.col("term"), F.lit(qt)) <= fz
+            # length-band prefilter AHEAD of the O(len²) levenshtein:
+            # |len(t) − len(q)| ≤ k is necessary for distance ≤ k, so
+            # the cheap codegen length check prunes the candidate set
+            # before the expensive distance runs (VERDICT r6 #8 —
+            # bounding the dictionary-wide edit-distance scan; the
+            # driver-side match_fn already early-exits on the same
+            # bound inside editdist_leq)
+            pred = (F.length(F.col("term"))
+                    .between(len(qt) - fz, len(qt) + fz)
+                    & (F.levenshtein(F.col("term"), F.lit(qt)) <= fz))
             if hint:
-                pred = pred & F.col("term").startswith(hint)
+                pred = F.col("term").startswith(hint) & pred
         if self.dict_reader is not None:
             if hint:
                 # anchored: range-pruned driver-side dictionary slice
@@ -1423,8 +1432,15 @@ class SearchEngine:
         if isinstance(q, dsl.NoneQuery):
             return NONE
         if isinstance(q, dsl.Term):
-            return self._score_term(q.field, q.term, q.scorer,
-                                    needs_score=False).select("doc_id")
+            out = self._score_term(q.field, q.term, q.scorer,
+                                   needs_score=False).select("doc_id")
+            if self.dict_reader is not None:
+                # exact cardinality from the dictionary (free) — lets
+                # the set-algebra joins pick their strategy on real
+                # numbers instead of Spark's blind estimate
+                out._rsx_rows = self.dict_reader.lookup_one(
+                    q.field, q.term)[0]
+            return out
         if isinstance(q, dsl.Prefix):
             return self._score_prefix(q, needs_score=False) \
                 .select("doc_id").distinct()
@@ -1467,6 +1483,21 @@ class SearchEngine:
                                   self._docset(q.exclude))
         raise TypeError(type(q))
 
+    #: docsets at or below this many rows may be broadcast by the
+    #: planner (~8M ids ≈ 64 MB framed); above it the semi/anti join
+    #: is pinned to shuffled-hash.  Spark's own choice is blind here —
+    #: a mapInArrow output has no size estimate, so without the hint
+    #: the planner happily broadcasts a head term's docset (78% of the
+    #: corpus in the bench's `not` query; at web scale a multi-GB
+    #: broadcast).  Guide §3.1: pick the strategy deliberately.
+    DOCSET_BROADCAST_MAX = 8 << 20
+
+    def _sized(self, b: DataFrame) -> DataFrame:
+        n = getattr(b, "_rsx_rows", None)
+        if n is not None and n > self.DOCSET_BROADCAST_MAX:
+            return b.hint("shuffle_hash")
+        return b
+
     # Full/Empty constant folding (boolean_query.rs:131-321): the
     # symbolic ALL/NONE operands never materialize the universe.
     def _intersect(self, a: DocSet, b: DocSet) -> DocSet:
@@ -1476,7 +1507,7 @@ class SearchEngine:
             return b
         if b == ALL:
             return a
-        return a.join(b, "doc_id", "left_semi")
+        return a.join(self._sized(b), "doc_id", "left_semi")
 
     def _union(self, a: DocSet, b: DocSet) -> DocSet:
         if ALL in (a, b):
@@ -1495,8 +1526,9 @@ class SearchEngine:
         if a == ALL:
             # root-negation fallback: universe minus matches
             # (rocksdb/search/mod.rs:64-74)
-            return self._universe().join(b, "doc_id", "left_anti")
-        return a.join(b, "doc_id", "left_anti")
+            return self._universe().join(self._sized(b), "doc_id",
+                                         "left_anti")
+        return a.join(self._sized(b), "doc_id", "left_anti")
 
     # ---------------------------------------------------------------
     # scored evaluation
@@ -1608,7 +1640,8 @@ class SearchEngine:
             if kind == "all":
                 return ("df", fset.select("doc_id")
                         .withColumn("score", F.lit(float(val))))
-            return ("df", val.join(fset, "doc_id", "left_semi"))
+            return ("df", val.join(self._sized(fset), "doc_id",
+                                    "left_semi"))
         # anti (Exclude)
         if fset == NONE:
             return inner
@@ -1616,10 +1649,11 @@ class SearchEngine:
             return ("none", None)
         if kind == "all":
             frame = self._universe() \
-                .join(fset, "doc_id", "left_anti") \
+                .join(self._sized(fset), "doc_id", "left_anti") \
                 .withColumn("score", F.lit(float(val)))
             return ("df", frame)
-        return ("df", val.join(fset, "doc_id", "left_anti"))
+        return ("df", val.join(self._sized(fset), "doc_id",
+                                    "left_anti"))
 
     def _nested_groups(self, children):
         """[(inner_mode, (Term, ...))] when every child is a Term or a
