@@ -13,6 +13,11 @@ Variants: base | precount0 | zstd | a free-form conf spec
     precount=<0|1>
     jobs=<int>    build_index jobs (document shards)
     par=<int>     concurrent write_jobs (driver threads, FAIR pools)
+    lc=<w>:<c>:<memMB>  master local-cluster[w,c,mem] instead of
+                  local[cpus] — N executor JVMs with their own
+                  task-launch/result/Python-worker paths (the
+                  VERDICT r6 #3 attribution experiment; <cpus> arg
+                  is ignored for the master but kept for labeling)
 Prints one JSON line with build seconds + docs/sec.
 """
 import json
@@ -39,7 +44,16 @@ def main():
     from pyspark.sql import SparkSession
     spec = parse_spec(VARIANT)
     shuffle = int(spec.get("sh", os.environ.get("SPARK_GRAFT_SHUFFLE", "16")))
-    b = (SparkSession.builder.master(f"local[{CPUS}]")
+    master = f"local[{CPUS}]"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "lc" in spec:
+        w, c, mem = spec["lc"].split(":")
+        master = f"local-cluster[{w},{c},{mem}]"
+        # executor JVMs spawn their own Python workers, which need
+        # the repo on their path (local mode inherits the driver's)
+        os.environ.setdefault("PYTHONPATH", repo)
+    b = (SparkSession.builder.master(master)
+         .config("spark.executorEnv.PYTHONPATH", repo)
          .appName(f"scale-exp-{CPUS}-{VARIANT}")
          .config("spark.sql.shuffle.partitions", str(shuffle))
          .config("spark.sql.files.maxPartitionBytes", spec.get("mpb", "32m"))
