@@ -486,3 +486,32 @@ def test_intermediate_level_without_fields_end_to_end(spark, tmp_path):
     q2 = {"nested": {"path": "wrap", "query": {"match_all": {}}}}
     assert {h["key"] for h in c.search("docs", q2, size=10)} == \
         {"w1", "w2"}
+
+
+def test_exists_missing_inner_hits_through_cluster_alias(deep_cluster):
+    """VERDICT r6 #6: `exists`/`missing` and `inner_hits` must work
+    through Cluster.search, including via an ALIAS target over a
+    nested-TYPE index."""
+    deep_cluster.put_alias("content", "docs")
+    # exists over a top-level stored field (alias target)
+    hits = deep_cluster.search("content", {"exists": {"field": "title"}},
+                               size=20)
+    assert {h["key"] for h in hits} == {f"d{i}" for i in range(1, 7)}
+    # missing: d4 has [] posts (ES []-is-missing), so it IS missing
+    missing = deep_cluster.search("content",
+                                  {"missing": {"field": "posts"}},
+                                  size=20)
+    assert "d4" in {h["key"] for h in missing}
+    # inner_hits through the alias
+    q = {"nested": {"path": "posts.comments",
+                    "query": {"term": {"posts.comments.author": "carol"}},
+                    "inner_hits": {}}}
+    hits = deep_cluster.search("content", q, size=10)
+    assert [h["key"] for h in hits] == ["d6"]
+    assert len(hits[0]["inner_hits"]["posts.comments"]) == 2
+    # counts agree between alias and direct index
+    for q2 in ({"exists": {"field": "title"}},
+               {"missing": {"field": "posts"}}):
+        assert deep_cluster.count("content", q2) == \
+            deep_cluster.count("docs", q2)
+    deep_cluster.delete_alias("content")
