@@ -568,7 +568,19 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         if config.nested_paths:
             # assign_doc_ids buckets child rows by their parent's key,
             # so every job's document shard is parent-complete —
-            # stamp it so the serving tier admits sharded mode
+            # stamp it so the serving tier admits sharded mode.  The
+            # stamp and the bucketing basis must derive from the same
+            # condition: a nested-configured frame missing both
+            # ancestry columns would bucket children by their
+            # synthetic key while claiming colocation, silently
+            # breaking sharded serving — fail fast instead.
+            if ("_nested_root" not in docs.columns
+                    and "_nested_parent" not in docs.columns):
+                raise ValueError(
+                    "config.nested_paths is set but the docs frame "
+                    "carries neither _nested_root nor _nested_parent "
+                    "— build nested indexes from "
+                    "mapping.prepare_docs output")
             config.nested_colocated = True
         layout.write_config(config)
     buckets_per_job = -(-config.n_buckets // jobs)  # ceil

@@ -214,6 +214,15 @@ def inner_hits_nodes(q: Query) -> List["Nested"]:
     elif isinstance(q, Exclude):
         out.extend(inner_hits_nodes(q.query))
         out.extend(inner_hits_nodes(q.exclude))
+    names = [n.inner_hits[0] for n in out]
+    if len(set(names)) != len(names):
+        # ES rejects duplicate inner_hits names (the default name is
+        # the path, so two requesting nodes on one path collide); a
+        # silent overwrite would drop one node's children
+        dup = sorted({n for n in names if names.count(n) > 1})
+        raise QueryParseError(
+            f"duplicate inner_hits name(s): {dup} — give each "
+            f"inner_hits request a distinct 'name'")
     return out
 
 

@@ -515,3 +515,38 @@ def test_exists_missing_inner_hits_through_cluster_alias(deep_cluster):
         assert deep_cluster.count("content", q2) == \
             deep_cluster.count("docs", q2)
     deep_cluster.delete_alias("content")
+
+
+def test_duplicate_inner_hits_names_rejected(deep_cluster):
+    """Two inner_hits requests sharing a name (the default name is
+    the path) must raise, not silently overwrite (ES behavior)."""
+    from rusticsearch_spark.query import dsl
+    eng = deep_cluster.engine("docs")
+    q = {"or": [
+        {"nested": {"path": "posts",
+                    "query": {"term": {"posts.topic": "spark"}},
+                    "inner_hits": {"name": "same"}}},
+        {"nested": {"path": "tags",
+                    "query": {"term": {"tags.t": "hot"}},
+                    "inner_hits": {"name": "same"}}}]}
+    with pytest.raises(dsl.QueryParseError, match="duplicate"):
+        eng.hits(q, size=5)
+    # distinct names are fine
+    q["or"][1]["nested"]["inner_hits"]["name"] = "other"
+    hits = eng.hits(q, size=5)
+    assert any("inner_hits" in h for h in hits)
+
+
+def test_nested_config_without_ancestry_columns_rejected(
+        spark, tmp_path):
+    """A nested-configured build whose docs frame lacks the ancestry
+    columns would stamp nested_colocated while bucketing children by
+    the wrong key — it must fail fast instead."""
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+    df = spark.createDataFrame([("u1", "hello")], "url string, text string")
+    cfg = IndexConfig(key_col="url", fields={"text": "standard"},
+                      n_buckets=2, tbuckets=2, shuffle_partitions=2,
+                      nested_paths=("comments",))
+    with pytest.raises(ValueError, match="_nested_root"):
+        build_index(spark, df, str(tmp_path / "bad_nested"), cfg)
