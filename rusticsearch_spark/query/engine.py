@@ -746,7 +746,12 @@ class SearchEngine:
             # dictionary df attaches as a LITERAL array indexed by the
             # child ordinal — the broadcast-joined createDataFrame it
             # replaces cost a pickled-RDD scan + BroadcastExchange per
-            # query (one more Spark job; see _fused_core)
+            # query (one more Spark job; see _fused_core).  A lookup
+            # miss yields df 0, which is safe by construction: the
+            # sidecar is derived from the same committed postings this
+            # frame scans (td_ok gates the reader on per-job
+            # completeness), so a missing (field, term) has no block
+            # rows either — df 0 never reaches a scored posting
             looked = self.dict_reader.lookup(
                 [(c.field, c.term) for c in children])
             dfs = F.array(*[

@@ -111,3 +111,31 @@ def test_exists_on_nested_children(spark, tmp_path):
           {"missing": {"field": "comments.note"}}}}
     assert {h["key"] for h in c.search("docs", qm, size=10)} == \
         {"u1", "u2"}
+
+
+def test_exists_whitespace_string_is_present_pinned(spark, tmp_path):
+    """PINNED DIVERGENCE (review follow-up): `exists` here is
+    STORED-value presence, so an analyzed string holding only
+    whitespace (non-null stored value, zero indexed tokens) counts
+    as present — ES, which checks indexed tokens, would say false.
+    This test pins the documented choice so any future change is
+    deliberate."""
+    from rusticsearch_spark.index.build import build_index
+    from rusticsearch_spark.index.layout import IndexConfig
+    from rusticsearch_spark.query.engine import SearchEngine
+    df = spark.createDataFrame(
+        [("u1", "   "), ("u2", "real text"), ("u3", None)],
+        "url string, text string")
+    path = str(tmp_path / "ws_exists")
+    build_index(spark, df, path,
+                IndexConfig(key_col="url", fields={"text": "standard"},
+                            n_buckets=2, tbuckets=2,
+                            shuffle_partitions=2))
+    eng = SearchEngine(spark, path)
+    got = {r.doc_id for r in
+           eng.search({"exists": {"field": "text"}}, size=10).collect()}
+    docs = {r.url: r.doc_id for r in
+            eng.docs.selectExpr("url", "doc_id").collect()}
+    assert docs["u1"] in got        # whitespace-only: present (ours)
+    assert docs["u2"] in got
+    assert docs["u3"] not in got    # null: missing (both semantics)
